@@ -1,0 +1,228 @@
+"""Range / nearest-neighbor queries (sphere and cube) — TPU-native.
+
+Reproduces the semantics of the reference CUDA ops ``BuildSphereNeighbor`` /
+``BuildCubeNeighbor`` (`tf_ops/nnquery/tf_nnquery_gpu.cu`, wrappers
+`tf_ops/nnquery/tf_nnquery.py:9,36`) with a design that maps onto TPU:
+
+- Pairwise distances are computed tile-by-tile with a batched matmul
+  (``|q|^2 - 2 q.db^T + |db|^2``) so the O(M*N) scan rides the MXU.
+- "Keep the first ``nn_sample`` in point order within radius"
+  (ref `tf_nnquery_gpu.cu:49-55`) becomes an integer ``top_k``: score
+  in-range point ``n`` as ``N - n`` so the K largest scores are the K
+  *smallest indices*, returned in ascending point order.
+- The zero-neighbor fallback ("grow radius by +0.05 and rescan",
+  ref `tf_nnquery_gpu.cu:30-60`) becomes a bounded ``lax.while_loop`` over a
+  per-query radius vector, reusing the already-computed distance tile.
+
+Reproduced quirks (required for checkpoint/metric parity, see SURVEY.md §7):
+- strict ``dist < radius`` with an extra ``|dist - radius| > 1e-6`` margin
+  (ref `tf_nnquery_gpu.cu:49`);
+- the stored distance is ``sqrt(euclidean_dist)`` — sqrt applied twice to the
+  squared distance (ref `tf_nnquery_gpu.cu:54`);
+- ``count = min(total_in_range, nn_sample)`` where the total keeps counting
+  past ``nn_sample`` (ref `tf_nnquery_gpu.cu:56-62`) but is clamped for the
+  output (ref `tf_nnquery_gpu.cu:62`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from sph3d_gcn_tpu.ops.types import CubeNeighborhood, Neighborhood
+
+# Byte budget for one (B, T, N) f32 distance tile; keeps HBM transients small.
+_TILE_BYTES = 128 * 1024 * 1024
+_GROW_STEP = 0.05        # ref tf_nnquery_gpu.cu:59
+_BOUNDARY_EPS = 1e-6     # ref tf_nnquery_gpu.cu:49
+_MAX_GROW_ITERS = 512    # bounds the data-dependent rescan loop for XLA
+
+
+def _query_tile_size(batch: int, num_db: int, num_query: int) -> int:
+    """Pick a query-tile size T so a (B, T, N) f32 tile fits the byte budget."""
+    t = _TILE_BYTES // max(1, 4 * batch * num_db)
+    t = max(8, min(num_query, t))
+    # Round down to a multiple of 8 (f32 sublane) unless tiny.
+    if t > 8:
+        t = (t // 8) * 8
+    return t
+
+
+def _pairwise_dist(q_tile: jax.Array, db: jax.Array, db_sq: jax.Array) -> jax.Array:
+    """Euclidean distance (B, T, N) between query tile and database, via MXU.
+
+    Matches ``dist3D = sqrt(dx^2 + dy^2 + dz^2)`` (ref tf_nnquery_gpu.cu:44-46)
+    up to the usual matmul-form cancellation (~1e-6 relative).
+    """
+    q_sq = jnp.sum(q_tile * q_tile, axis=-1, keepdims=True)        # (B, T, 1)
+    # HIGHEST precision: on TPU the default matmul precision is bf16, which
+    # would corrupt the 1e-6 radius boundary test (ref tf_nnquery_gpu.cu:49).
+    cross = jnp.einsum(
+        "btc,bnc->btn",
+        q_tile,
+        db,
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )
+    d2 = q_sq - 2.0 * cross + db_sq[:, None, :]                    # (B, T, N)
+    return jnp.sqrt(jnp.maximum(d2, 0.0))
+
+
+def _first_k_in_order(mask: jax.Array, num_db: int, k: int):
+    """Select the first `k` True positions of `mask` along the last axis.
+
+    Returns (idx (.., k) int32, valid (.., k) bool) with selected indices in
+    ascending point order — the order the CUDA scan stores them
+    (ref tf_nnquery_gpu.cu:49-55).
+    """
+    n_ids = lax.broadcasted_iota(jnp.int32, mask.shape, mask.ndim - 1)
+    score = jnp.where(mask, num_db - n_ids, 0)        # valid scores >= 1
+    top_vals, _ = lax.top_k(score, k)                 # descending => ascending n
+    valid = top_vals > 0
+    idx = jnp.where(valid, num_db - top_vals, 0)
+    return idx.astype(jnp.int32), valid
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "nn_sample", "dilation_rate"))
+def build_sphere_neighbor(
+    database: jax.Array,
+    query: jax.Array,
+    radius: float = 0.1,
+    nn_sample: int = 100,
+    dilation_rate: float | None = None,
+) -> Neighborhood:
+    """Sphere range search keeping the first `nn_sample` in-range points.
+
+    Mirrors ``build_sphere_neighbor`` (ref tf_ops/nnquery/tf_nnquery.py:9-34):
+    extra feature channels beyond xyz are ignored, `dilation_rate` scales the
+    radius. Output padding entries are 0 (index and dist) — callers must mask
+    with ``count``.
+
+    Args:
+      database: (B, N, 3+) float32.
+      query:    (B, M, 3+) float32.
+      radius:   search radius (strict `<` with 1e-6 margin).
+      nn_sample: K, the fixed neighbor budget.
+      dilation_rate: optional radius multiplier (ref tf_nnquery.py:30-31).
+
+    Returns:
+      Neighborhood(idx (B,M,K) int32, count (B,M) int32, dist (B,M,K) f32
+      in sqrt-space).
+    """
+    db = database[..., :3].astype(jnp.float32)
+    q = query[..., :3].astype(jnp.float32)
+    if dilation_rate is not None:
+        radius = float(dilation_rate) * float(radius)
+    batch, num_db, _ = db.shape
+    num_q = q.shape[1]
+    k = int(nn_sample)
+
+    tile = _query_tile_size(batch, num_db, num_q)
+    num_tiles = -(-num_q // tile)
+    pad = num_tiles * tile - num_q
+    q_padded = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+    # (n_tiles, B, T, 3): lax.map iterates the leading axis.
+    q_tiles = q_padded.reshape(batch, num_tiles, tile, 3).transpose(1, 0, 2, 3)
+
+    db_sq = jnp.sum(db * db, axis=-1)  # (B, N)
+
+    def process_tile(q_tile):
+        d = _pairwise_dist(q_tile, db, db_sq)  # (B, T, N)
+
+        def count_at(r):
+            m = (d < r[..., None]) & (jnp.abs(d - r[..., None]) > _BOUNDARY_EPS)
+            return m, jnp.sum(m, axis=-1)
+
+        def cond(carry):
+            r, it = carry
+            _, cnt = count_at(r)
+            return jnp.any(cnt == 0) & (it < _MAX_GROW_ITERS)
+
+        def body(carry):
+            r, it = carry
+            _, cnt = count_at(r)
+            r = jnp.where(cnt == 0, r + _GROW_STEP, r)
+            return r, it + 1
+
+        r0 = jnp.full(d.shape[:2], radius, dtype=jnp.float32)
+        r_final, _ = lax.while_loop(cond, body, (r0, jnp.int32(0)))
+
+        mask, total = count_at(r_final)
+        idx, valid = _first_k_in_order(mask, num_db, k)
+        d_sel = jnp.take_along_axis(d, idx, axis=-1)
+        # Quirk: stored distance is sqrt of the (already Euclidean) distance
+        # (ref tf_nnquery_gpu.cu:54).
+        nn_dist = jnp.where(valid, jnp.sqrt(d_sel), 0.0)
+        count = jnp.minimum(total, k).astype(jnp.int32)
+        return idx, count, nn_dist
+
+    idx_t, cnt_t, dist_t = lax.map(process_tile, q_tiles)
+    # (n_tiles, B, T, ...) -> (B, M, ...)
+    idx = idx_t.transpose(1, 0, 2, 3).reshape(batch, num_tiles * tile, k)
+    cnt = cnt_t.transpose(1, 0, 2).reshape(batch, num_tiles * tile)
+    dist = dist_t.transpose(1, 0, 2, 3).reshape(batch, num_tiles * tile, k)
+    return Neighborhood(idx[:, :num_q], cnt[:, :num_q], dist[:, :num_q])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("length", "nn_sample", "gridsize", "dilation_rate")
+)
+def build_cube_neighbor(
+    database: jax.Array,
+    query: jax.Array,
+    length: float = 0.1,
+    nn_sample: int = 100,
+    gridsize: int = 3,
+    dilation_rate: float | None = None,
+) -> CubeNeighborhood:
+    """Axis-aligned cube search with direct grid-bin assignment.
+
+    Mirrors ``build_cube_neighbor`` (ref tf_ops/nnquery/tf_nnquery.py:36-60,
+    kernel tf_nnquery_gpu.cu:75-108): strict ``|delta| < length/2`` on each
+    axis, bin id ``xId*g^2 + yId*g + zId`` with ``Id = (delta + length/2) /
+    (length/gridsize)``. No radius growth, no distances; count never exceeds
+    ``nn_sample`` (the CUDA scan stops counting at the budget).
+    """
+    db = database[..., :3].astype(jnp.float32)
+    q = query[..., :3].astype(jnp.float32)
+    if dilation_rate is not None:
+        length = float(dilation_rate) * float(length)
+    batch, num_db, _ = db.shape
+    num_q = q.shape[1]
+    k = int(nn_sample)
+    half = float(length) / 2.0
+    cell = float(length) / float(gridsize)
+
+    tile = _query_tile_size(batch, num_db, num_q)
+    num_tiles = -(-num_q // tile)
+    pad = num_tiles * tile - num_q
+    q_padded = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+    q_tiles = q_padded.reshape(batch, num_tiles, tile, 3).transpose(1, 0, 2, 3)
+
+    def process_tile(q_tile):
+        delta = db[:, None, :, :] - q_tile[:, :, None, :]  # (B, T, N, 3)
+        inside = jnp.all(jnp.abs(delta) < half, axis=-1)   # (B, T, N)
+        idx, valid = _first_k_in_order(inside, num_db, k)
+        d_sel = jnp.take_along_axis(
+            delta, idx[..., None], axis=2
+        )  # (B, T, K, 3)
+        cell_ids = jnp.clip(
+            ((d_sel + half) / cell).astype(jnp.int32), 0, gridsize - 1
+        )
+        bins = (
+            cell_ids[..., 0] * gridsize * gridsize
+            + cell_ids[..., 1] * gridsize
+            + cell_ids[..., 2]
+        )
+        bins = jnp.where(valid, bins, 0)
+        count = jnp.minimum(jnp.sum(inside, axis=-1), k).astype(jnp.int32)
+        return idx, bins, count
+
+    idx_t, bin_t, cnt_t = lax.map(process_tile, q_tiles)
+    idx = idx_t.transpose(1, 0, 2, 3).reshape(batch, num_tiles * tile, k)
+    bins = bin_t.transpose(1, 0, 2, 3).reshape(batch, num_tiles * tile, k)
+    cnt = cnt_t.transpose(1, 0, 2).reshape(batch, num_tiles * tile)
+    return CubeNeighborhood(idx[:, :num_q], bins[:, :num_q], cnt[:, :num_q])

@@ -1,0 +1,82 @@
+"""Graph unpooling / interpolation (mean and weighted).
+
+Counterpart of ``MeanInterpolate`` / ``WeightedInterpolate``
+(`tf_ops/unpooling/tf_unpool3d_gpu.cu`, wrappers
+`tf_ops/unpooling/tf_unpool3d.py:9,19`). Each *fine* point's feature is
+reconstructed from its *coarse* neighbors (the inter-level query of
+``build_graph_deconv``, ref utils/sph3gcn_util.py:52-58):
+
+- mean:     masked mean over valid coarse neighbors
+            (ref tf_unpool3d_gpu.cu:5-22);
+- weighted: sum of externally supplied weights times neighbor features
+            (ref tf_unpool3d_gpu.cu:45-63). NB the reference layer computes
+            weights *proportional* to (sqrt-space) distance, not inverse —
+            see ``sph3d_gcn_tpu.nn.layers.unpool3d`` and
+            ref utils/sph3gcn_util.py:317-321.
+
+Autodiff backward is the deterministic scatter matching
+tf_unpool3d_gpu.cu:25-42,66-84 without atomics.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _gather_features(feats: jax.Array, idx: jax.Array) -> jax.Array:
+    b, m, k = idx.shape
+    flat = jnp.take_along_axis(feats, idx.reshape(b, m * k, 1), axis=1)
+    return flat.reshape(b, m, k, feats.shape[-1])
+
+
+def _valid_mask(idx: jax.Array, count: jax.Array) -> jax.Array:
+    k_ids = lax.broadcasted_iota(jnp.int32, idx.shape, 2)
+    return k_ids < count[..., None]
+
+
+@jax.jit
+def mean_interpolate(
+    inputs: jax.Array, nn_index: jax.Array, nn_count: jax.Array
+) -> jax.Array:
+    """Fine-point feature = mean of its coarse neighbors.
+
+    Args:
+      inputs:   (B, M, C) float32 coarse features.
+      nn_index: (B, N, K) int32 coarse-neighbor indices per fine point (N > M).
+      nn_count: (B, N) int32 valid counts.
+
+    Returns:
+      (B, N, C) float32 interpolated fine features.
+    """
+    g = _gather_features(inputs, nn_index)
+    valid = _valid_mask(nn_index, nn_count)
+    summed = jnp.sum(jnp.where(valid[..., None], g, 0.0), axis=2)
+    inv = 1.0 / jnp.maximum(nn_count, 1).astype(inputs.dtype)
+    return summed * inv[..., None]
+
+
+@jax.jit
+def weighted_interpolate(
+    inputs: jax.Array,
+    weight: jax.Array,
+    nn_index: jax.Array,
+    nn_count: jax.Array,
+) -> jax.Array:
+    """Fine-point feature = weighted sum of coarse neighbors
+    (ref tf_unpool3d_gpu.cu:45-63).
+
+    Args:
+      inputs:   (B, M, C) float32 coarse features.
+      weight:   (B, N, K) float32 per-edge weights.
+      nn_index: (B, N, K) int32 coarse-neighbor indices per fine point.
+      nn_count: (B, N) int32 valid counts.
+
+    Returns:
+      (B, N, C) float32.
+    """
+    g = _gather_features(inputs, nn_index)
+    valid = _valid_mask(nn_index, nn_count)
+    w = jnp.where(valid, weight, 0.0)
+    return jnp.sum(g * w[..., None], axis=2)
