@@ -1,0 +1,103 @@
+"""Per-dataset architecture configs (counterparts of the reference's
+`*_config.py` modules, SURVEY.md §2.4)."""
+
+from sph3d_gcn_tpu.configs.base import SPH3DConfig
+
+
+def modelnet_config(num_input: int = 10000) -> SPH3DConfig:
+    """ref modelnet40_cls/modelnet_config.py:1-37."""
+    num_sample = tuple(
+        num_input // 4 ** (i + 1)
+        for i in range(10)
+        if num_input // 4 ** (i + 1) > 100
+    )
+    num_levels = len(num_sample)
+    return SPH3DConfig(
+        num_input=num_input,
+        num_cls=40,
+        mlp=32,
+        num_sample=num_sample,
+        radius=(0.1, 0.2, 0.4)[:num_levels],
+        nn_uplimit=(64,) * num_levels,
+        channels=((64, 64), (64, 128), (128, 128))[:num_levels],
+        multiplier=((2, 1), (1, 2), (1, 1))[:num_levels],
+        weight_decay=1e-5,
+        kernel=(8, 2, 2),
+        normalize=True,
+        pool_method="max",
+        sample="FPS",
+        use_raw=True,
+        with_bn=True,
+        with_bias=False,
+        global_channels=512,
+        global_multiplier=2,
+    )
+
+
+def shapenet_config(num_input: int = 2048) -> SPH3DConfig:
+    """ref shapenet_seg/shapenet_config.py:1-24 (num_cls is per-category and
+    passed to the model separately)."""
+    return SPH3DConfig(
+        num_input=num_input,
+        num_cls=50,  # onehot variant; per-category nets pass their own
+        mlp=64,
+        num_sample=(1024, 768, 384, 128),
+        radius=(0.08, 0.16, 0.32, 0.64),
+        nn_uplimit=(64, 64, 64, 64),
+        channels=((128, 128), (256, 256), (256, 256), (512, 512)),
+        multiplier=((2, 2), (2, 2), (2, 2), (2, 2)),
+        weight_decay=None,
+        kernel=(8, 2, 2),
+        normalize=False,
+        pool_method="max",
+        unpool_method="mean",
+        sample="FPS",
+        with_bn=True,
+        with_bias=False,
+    )
+
+
+def _scene_seg_config(num_cls: int, num_input: int = 8192) -> SPH3DConfig:
+    return SPH3DConfig(
+        num_input=num_input,
+        num_cls=num_cls,
+        mlp=64,
+        num_sample=(2048, 768, 384, 128),
+        radius=(0.1, 0.2, 0.4, 0.8),
+        nn_uplimit=(64, 64, 64, 64),
+        channels=((128, 128), (256, 256), (256, 256), (512, 512)),
+        multiplier=((2, 2), (2, 2), (2, 2), (2, 2)),
+        weight_decay=None,
+        kernel=(8, 2, 2),
+        normalize=True,
+        pool_method="max",
+        unpool_method="mean",
+        sample="FPS",
+        with_bn=True,
+        with_bias=False,
+    )
+
+
+def scannet_config(num_input: int = 8192) -> SPH3DConfig:
+    """ref scannet_seg/scannet_config.py:1-26."""
+    return _scene_seg_config(num_cls=21, num_input=num_input)
+
+
+def s3dis_config(num_input: int = 8192) -> SPH3DConfig:
+    """ref s3dis_seg/s3dis_config.py:1-26."""
+    return _scene_seg_config(num_cls=13, num_input=num_input)
+
+
+def ruemonge2014_config(num_input: int = 8192) -> SPH3DConfig:
+    """ref ruemonge2014_seg/ruemonge2014_config.py:1-26."""
+    return _scene_seg_config(num_cls=7, num_input=num_input)
+
+
+__all__ = [
+    "SPH3DConfig",
+    "modelnet_config",
+    "ruemonge2014_config",
+    "s3dis_config",
+    "scannet_config",
+    "shapenet_config",
+]

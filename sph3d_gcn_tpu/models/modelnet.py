@@ -1,0 +1,136 @@
+"""ModelNet40 classification network.
+
+Counterpart of `models/SPH3D_modelnet.py`: input MLP -> 3 levels of
+{sphere graph -> spherical bins -> separable conv block -> FPS gather ->
+max pool} -> per-level global max-pool features -> global centroid conv
+(radius 100, kernel (8,2,1), binSize 17) -> FC 512 -> dropout -> FC 256 ->
+dropout -> logits (ref SPH3D_modelnet.py:33-108).
+"""
+
+from __future__ import annotations
+
+import flax.linen as fnn
+import jax
+import jax.numpy as jnp
+
+from sph3d_gcn_tpu.configs.base import SPH3DConfig
+from sph3d_gcn_tpu.models.common import SeparableConvBlock, normalize_unit_sphere
+from sph3d_gcn_tpu.nn.graph import (
+    build_global_graph,
+    build_graph,
+    gather_neighborhood,
+    gather_points,
+)
+from sph3d_gcn_tpu.nn.layers import (
+    FullyConnected,
+    PointwiseConv3d,
+    SeparableConv3d,
+    pool3d,
+)
+from sph3d_gcn_tpu.ops.kernelbin import spherical_kernel
+
+_GLOBAL_RADIUS = 100.0  # ref SPH3D_modelnet.py:86 (connects all points)
+_GLOBAL_KERNEL = (8, 2, 1)  # ref SPH3D_modelnet.py:89-90, binSize 17
+
+
+class SPH3DModelNet(fnn.Module):
+    """Classification network: (B, N, 3) -> (B, num_cls) logits."""
+
+    config: SPH3DConfig
+
+    @fnn.compact
+    def __call__(self, points: jax.Array, train: bool = False) -> jax.Array:
+        cfg = self.config
+        assert points.shape[1] == cfg.num_input, (
+            f"expected {cfg.num_input} input points, got {points.shape[1]}"
+        )
+
+        if cfg.normalize:
+            points = normalize_unit_sphere(points)
+
+        xyz = points
+        # The global viewing point (ref SPH3D_modelnet.py:47).
+        query = jnp.mean(xyz, axis=1, keepdims=True)
+
+        net = PointwiseConv3d(
+            cfg.mlp, with_bn=cfg.with_bn, with_bias=cfg.with_bias, name="mlp1"
+        )(xyz, train)
+
+        sample_key = None
+        if cfg.sample in ("IDS", "random"):
+            sample_key = self.make_rng("sample")
+
+        global_feat = []
+        for level in range(len(cfg.radius)):
+            if cfg.use_raw:
+                net = jnp.concatenate([net, xyz], axis=-1)
+
+            key = None
+            if sample_key is not None:
+                key = jax.random.fold_in(sample_key, level)
+            nbh, sample_idx = build_graph(
+                xyz,
+                cfg.radius[level],
+                cfg.nn_uplimit[level],
+                cfg.num_sample[level],
+                sample_method=cfg.sample,
+                key=key,
+            )
+            filt_idx = spherical_kernel(
+                xyz, xyz, nbh, cfg.radius[level], cfg.kernel
+            )
+            net = SeparableConvBlock(
+                list_channels=cfg.channels[level],
+                bin_size=cfg.bin_size,
+                depth_multiplier=cfg.multiplier[level],
+                config=cfg,
+                name=f"conv{level + 1}",
+            )(net, nbh, filt_idx, train)
+
+            if cfg.num_sample[level] > 1:
+                xyz = gather_points(xyz, sample_idx)
+                inter = gather_neighborhood(nbh, sample_idx)
+                net = pool3d(net, inter, method=cfg.pool_method)
+
+            # Multi-scale global max-pool feature (ref SPH3D_modelnet.py:82-83).
+            global_feat.append(jnp.max(net, axis=1, keepdims=True))
+
+        # Global feature: all remaining points -> centroid query
+        # (ref SPH3D_modelnet.py:85-94).
+        gnbh = build_global_graph(xyz, query, _GLOBAL_RADIUS)
+        gfilt = spherical_kernel(xyz, query, gnbh, _GLOBAL_RADIUS, _GLOBAL_KERNEL)
+        net = SeparableConv3d(
+            num_out_channels=cfg.global_channels,
+            bin_size=17,
+            depth_multiplier=cfg.global_multiplier,
+            with_bn=cfg.with_bn,
+            with_bias=cfg.with_bias,
+            name="global_conv",
+        )(net, gnbh, gfilt, train)
+        global_feat.append(net)
+        net = jnp.concatenate(global_feat, axis=2)
+
+        net = net.reshape(net.shape[0], -1)
+        net = FullyConnected(
+            512, with_bn=cfg.with_bn, with_bias=cfg.with_bias, name="fc1"
+        )(net, train)
+        net = fnn.Dropout(0.5, deterministic=not train, name="fc1_dp")(net)
+        net = FullyConnected(
+            256, with_bn=cfg.with_bn, with_bias=cfg.with_bias, name="fc2"
+        )(net, train)
+        net = fnn.Dropout(0.5, deterministic=not train, name="fc2_dp")(net)
+        net = FullyConnected(
+            cfg.num_cls,
+            with_bn=False,
+            with_bias=cfg.with_bias,
+            activation=None,
+            name="logits",
+        )(net, train)
+        return net
+
+
+def classification_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Mean softmax cross entropy (ref SPH3D_modelnet.py:112-119)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    return jnp.mean(nll)

@@ -1,0 +1,268 @@
+"""Shared encoder/decoder backbone and dataset wrappers for segmentation.
+
+Mirrors the common structure of `models/SPH3D_{shapenet,scannet,s3dis,
+ruemonge2014}.py`: input MLP -> encoder {graph, bins, conv block, FPS
+gather, max pool} x L -> mirrored decoder {deconv graph, conv block at the
+coarse level, unpool to the finer level, skip concat} -> optional mlp2 ->
+pointwise classifier.
+
+The reference reverses its config lists *in place* between encoder and
+decoder (ref SPH3D_s3dis.py:79-84) — here the decoder indexes reversed
+copies, so configs stay immutable.
+"""
+
+from __future__ import annotations
+
+import flax.linen as fnn
+import jax
+import jax.numpy as jnp
+
+from sph3d_gcn_tpu.configs.base import SPH3DConfig
+from sph3d_gcn_tpu.models.common import (
+    SeparableConvBlock,
+    normalize_mean_center,
+    normalize_unit_sphere,
+    normalize_xy_center_z_floor,
+)
+from sph3d_gcn_tpu.nn.graph import (
+    build_graph,
+    build_graph_deconv,
+    gather_neighborhood,
+    gather_points,
+)
+from sph3d_gcn_tpu.nn.layers import PointwiseConv3d, pool3d, unpool3d
+from sph3d_gcn_tpu.ops.kernelbin import spherical_kernel
+
+NUM_SHAPENET_CATEGORIES = 16  # ref models/SPH3D_shapenet_onehot.py:10
+
+
+class SegEncoderDecoder(fnn.Module):
+    """mlp1 -> encoder pyramid -> decoder with skip concats [-> mlp2].
+
+    Args (module fields):
+      config: architecture config.
+      include_input_skip: append the mlp1 output to the skip list and run
+        mlp2 + concat at the end (the ShapeNet variant,
+        ref SPH3D_shapenet.py:46,106-108). Scene models skip both.
+    """
+
+    config: SPH3DConfig
+    include_input_skip: bool = False
+
+    @fnn.compact
+    def __call__(
+        self, net: jax.Array, xyz: jax.Array, train: bool = False
+    ) -> jax.Array:
+        cfg = self.config
+        num_levels = len(cfg.radius)
+
+        net = PointwiseConv3d(
+            cfg.mlp, with_bn=cfg.with_bn, with_bias=cfg.with_bias, name="mlp1"
+        )(net, train)
+
+        sample_key = None
+        if cfg.sample in ("IDS", "random"):
+            sample_key = self.make_rng("sample")
+
+        xyz_layers = [xyz]
+        encoder = [net] if self.include_input_skip else []
+
+        # ---------------- Encoder (ref SPH3D_s3dis.py:53-77) ----------------
+        for level in range(num_levels):
+            key = None
+            if sample_key is not None:
+                key = jax.random.fold_in(sample_key, level)
+            nbh, sample_idx = build_graph(
+                xyz,
+                cfg.radius[level],
+                cfg.nn_uplimit[level],
+                cfg.num_sample[level],
+                sample_method=cfg.sample,
+                key=key,
+            )
+            filt_idx = spherical_kernel(xyz, xyz, nbh, cfg.radius[level], cfg.kernel)
+            net = SeparableConvBlock(
+                list_channels=cfg.channels[level],
+                bin_size=cfg.bin_size,
+                depth_multiplier=cfg.multiplier[level],
+                config=cfg,
+                name=f"conv{level + 1}",
+            )(net, nbh, filt_idx, train)
+
+            encoder.append(net)
+            if cfg.num_sample[level] > 1:
+                xyz = gather_points(xyz, sample_idx)
+                xyz_layers.append(xyz)
+                inter = gather_neighborhood(nbh, sample_idx)
+                net = pool3d(net, inter, method=cfg.pool_method)
+
+        # Decoder indexes reversed *copies* (the reference reverses the
+        # config lists in place, ref SPH3D_s3dis.py:79-84).
+        radius_r = cfg.radius[::-1]
+        nn_uplimit_r = cfg.nn_uplimit[::-1]
+        channels_r = cfg.channels[::-1]
+        multiplier_r = cfg.multiplier[::-1]
+        xyz_layers = xyz_layers[::-1]
+        encoder = encoder[::-1]
+
+        # ---------------- Decoder (ref SPH3D_s3dis.py:87-105) ----------------
+        for level in range(num_levels):
+            xyz_coarse = xyz_layers[level]
+            xyz_fine = xyz_layers[level + 1]
+            intra, inter = build_graph_deconv(
+                xyz_coarse, xyz_fine, radius_r[level], nn_uplimit_r[level]
+            )
+            filt_idx = spherical_kernel(
+                xyz_coarse, xyz_coarse, intra, radius_r[level], cfg.kernel
+            )
+            net = SeparableConvBlock(
+                list_channels=channels_r[level],
+                bin_size=cfg.bin_size,
+                depth_multiplier=multiplier_r[level],
+                config=cfg,
+                name=f"deconv{level + 1}",
+            )(net, intra, filt_idx, train)
+            net = unpool3d(net, inter, method=cfg.unpool_method)
+            net = jnp.concatenate((net, encoder[level]), axis=2)
+
+        if self.include_input_skip:
+            # mlp2 + concat of the mlp1 features (ref SPH3D_shapenet.py:106-108).
+            net = PointwiseConv3d(
+                cfg.mlp, with_bn=cfg.with_bn, with_bias=cfg.with_bias, name="mlp2"
+            )(net, train)
+            net = jnp.concatenate((net, encoder[-1]), axis=2)
+
+        return net
+
+
+class SPH3DShapeNet(fnn.Module):
+    """Per-category part segmentation (ref models/SPH3D_shapenet.py:33-113).
+
+    Input is raw (B, N, 3) xyz (already unit-sphere normalized offline);
+    ``num_cls`` is the per-category part count.
+    """
+
+    config: SPH3DConfig
+    num_cls: int
+
+    @fnn.compact
+    def __call__(self, points: jax.Array, train: bool = False) -> jax.Array:
+        cfg = self.config
+        xyz = points[:, :, 0:3]
+        net = points
+        if cfg.normalize:
+            net = normalize_unit_sphere(net)
+        net = SegEncoderDecoder(cfg, include_input_skip=True, name="backbone")(
+            net, xyz, train
+        )
+        return PointwiseConv3d(
+            self.num_cls,
+            with_bn=False,
+            with_bias=cfg.with_bias,
+            activation=None,
+            name="logits",
+        )(net, train)
+
+
+class SPH3DShapeNetOnehot(fnn.Module):
+    """All-category part segmentation with a one-hot category input tiled
+    over points before the classifier (ref SPH3D_shapenet_onehot.py:110-114).
+    """
+
+    config: SPH3DConfig
+    num_cls: int = 50
+
+    @fnn.compact
+    def __call__(
+        self, points: jax.Array, cls_label: jax.Array, train: bool = False
+    ) -> jax.Array:
+        cfg = self.config
+        xyz = points[:, :, 0:3]
+        net = SegEncoderDecoder(cfg, include_input_skip=True, name="backbone")(
+            points, xyz, train
+        )
+        onehot = jax.nn.one_hot(cls_label, NUM_SHAPENET_CATEGORIES, dtype=net.dtype)
+        onehot = jnp.tile(onehot[:, None, :], (1, net.shape[1], 1))
+        net = jnp.concatenate((net, onehot), axis=2)
+        return PointwiseConv3d(
+            self.num_cls,
+            with_bn=False,
+            with_bias=cfg.with_bias,
+            activation=None,
+            name="logits",
+        )(net, train)
+
+
+class SPH3DSceneSeg(fnn.Module):
+    """Scene segmentation (S3DIS / ScanNet): xy-bbox-center normalize, input
+    features = norm_xyz ++ columns 6: (ref SPH3D_s3dis.py:35-49, identical
+    model in SPH3D_scannet.py)."""
+
+    config: SPH3DConfig
+
+    @fnn.compact
+    def __call__(self, points: jax.Array, train: bool = False) -> jax.Array:
+        cfg = self.config
+        xyz = points[:, :, 0:3]
+        norm_xyz = normalize_xy_center_z_floor(xyz) if cfg.normalize else xyz
+        net = jnp.concatenate((norm_xyz, points[:, :, 6:]), axis=2)
+        net = SegEncoderDecoder(cfg, include_input_skip=False, name="backbone")(
+            net, xyz, train
+        )
+        return PointwiseConv3d(
+            cfg.num_cls,
+            with_bn=False,
+            with_bias=cfg.with_bias,
+            activation=None,
+            name="logits",
+        )(net, train)
+
+
+class SPH3DRueMonge(fnn.Module):
+    """Facade segmentation: mean-center normalize, features = norm_xyz ++
+    columns 3: (normal + rgb) (ref SPH3D_ruemonge2014.py:35-47)."""
+
+    config: SPH3DConfig
+
+    @fnn.compact
+    def __call__(self, points: jax.Array, train: bool = False) -> jax.Array:
+        cfg = self.config
+        xyz = points[:, :, 0:3]
+        norm_xyz = normalize_mean_center(xyz) if cfg.normalize else xyz
+        net = jnp.concatenate((norm_xyz, points[:, :, 3:]), axis=2)
+        net = SegEncoderDecoder(cfg, include_input_skip=False, name="backbone")(
+            net, xyz, train
+        )
+        return PointwiseConv3d(
+            cfg.num_cls,
+            with_bn=False,
+            with_bias=cfg.with_bias,
+            activation=None,
+            name="logits",
+        )(net, train)
+
+
+def segmentation_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Plain mean CE over all points (ref SPH3D_ruemonge2014.py:116-123,
+    SPH3D_shapenet.py:116-123)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    return jnp.mean(nll)
+
+
+def inner_masked_segmentation_loss(
+    logits: jax.Array, labels: jax.Array, inner_label: jax.Array
+) -> jax.Array:
+    """Per-item mean CE over *inner* (non-context) points, summed over the
+    batch (ref SPH3D_s3dis.py:116-133: per-item ``reduce_mean`` guarded by a
+    zero-size cond, accumulated with ``+=`` — i.e. a sum, not a mean, over
+    batch items)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    inner = (inner_label > 0).astype(nll.dtype)
+    per_item_sum = jnp.sum(nll * inner, axis=1)
+    per_item_cnt = jnp.sum(inner, axis=1)
+    per_item_mean = jnp.where(
+        per_item_cnt > 0, per_item_sum / jnp.maximum(per_item_cnt, 1.0), 0.0
+    )
+    return jnp.sum(per_item_mean)

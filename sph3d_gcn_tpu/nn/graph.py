@@ -1,0 +1,117 @@
+"""Graph construction for the SPH3D encoder/decoder pyramids.
+
+Functional counterparts of ``build_graph`` / ``build_graph_deconv`` /
+``build_global_graph`` (ref utils/sph3gcn_util.py:20-58). The reference
+returns TF ``gather_nd`` index pairs (B, S, 2); here subsampling indices are
+plain (B, S) int32 arrays consumed with ``take_along_axis`` helpers.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from sph3d_gcn_tpu.ops.neighbor import build_sphere_neighbor
+from sph3d_gcn_tpu.ops.sample import (
+    farthest_point_sample,
+    inverse_density_sample,
+    random_sample,
+)
+from sph3d_gcn_tpu.ops.types import Neighborhood
+
+# Default neighbor search method, as the reference fixes it
+# (ref utils/sph3gcn_util.py:17).
+neighbor_fn = build_sphere_neighbor
+
+
+def build_graph(
+    xyz: jax.Array,
+    radius: float,
+    nn_uplimit: int,
+    num_sample: int | None,
+    sample_method: str | None = None,
+    key: jax.Array | None = None,
+) -> tuple[Neighborhood, jax.Array | None]:
+    """Intra-level sphere graph plus optional subsampling indices.
+
+    Mirrors ref utils/sph3gcn_util.py:28-49.
+
+    Args:
+      xyz: (B, N, 3) float32 point coordinates.
+      radius: sphere search radius.
+      nn_uplimit: fixed neighbor budget K.
+      num_sample: coarse point count S, or None to skip subsampling.
+      sample_method: 'FPS' | 'IDS' | 'random' (ref :33-41).
+      key: PRNG key, required for 'IDS'/'random'.
+
+    Returns:
+      (Neighborhood over xyz->xyz, sample_index (B, S) int32 or None).
+    """
+    intra = neighbor_fn(xyz, xyz, radius=radius, nn_sample=nn_uplimit)
+
+    if num_sample is None:
+        return intra, None
+
+    if sample_method == "random":
+        if key is None:
+            raise ValueError("random sampling requires a PRNG key")
+        sample_index = random_sample(num_sample, xyz, key)
+    elif sample_method == "FPS":
+        sample_index = farthest_point_sample(num_sample, xyz)
+    elif sample_method == "IDS":
+        if key is None:
+            raise ValueError("IDS sampling requires a PRNG key")
+        prob = jnp.sum(intra.dist, axis=-1) / jnp.maximum(
+            intra.count, 1
+        ).astype(jnp.float32)
+        sample_index = inverse_density_sample(num_sample, prob, key)
+    else:
+        raise ValueError(f"Unknown sampling method: {sample_method!r}")
+
+    return intra, sample_index
+
+
+def build_graph_deconv(
+    xyz: jax.Array,
+    xyz_unpool: jax.Array,
+    radius: float,
+    nn_uplimit: int,
+) -> tuple[Neighborhood, Neighborhood]:
+    """Intra edges at the coarse level + inter edges coarse->fine for
+    unpooling (ref utils/sph3gcn_util.py:52-58).
+
+    ``inter`` queries are the *fine* points searching the *coarse* database,
+    so ``inter.idx`` indexes coarse points per fine point.
+    """
+    intra = neighbor_fn(xyz, xyz, radius=radius, nn_sample=nn_uplimit)
+    inter = neighbor_fn(xyz, xyz_unpool, radius=radius, nn_sample=nn_uplimit)
+    return intra, inter
+
+
+def build_global_graph(
+    xyz: jax.Array, query: jax.Array, radius: float
+) -> Neighborhood:
+    """All-points-to-centroid edges with nn_sample = N
+    (ref utils/sph3gcn_util.py:20-25)."""
+    nn_uplimit = xyz.shape[1]
+    return neighbor_fn(xyz, query, radius=radius, nn_sample=nn_uplimit)
+
+
+def gather_points(x: jax.Array, idx: jax.Array) -> jax.Array:
+    """Subsample along the point axis: (B, N, ...), (B, S) -> (B, S, ...).
+
+    Replaces the reference's batched ``tf.gather_nd`` coarsening
+    (ref models/SPH3D_modelnet.py:73-76).
+    """
+    expand = (1,) * (x.ndim - 2)
+    idx_b = idx.reshape(idx.shape + expand)
+    return jnp.take_along_axis(x, idx_b, axis=1)
+
+
+def gather_neighborhood(nbh: Neighborhood, idx: jax.Array) -> Neighborhood:
+    """Gather neighborhood rows at the sampled coarse points."""
+    return Neighborhood(
+        idx=gather_points(nbh.idx, idx),
+        count=gather_points(nbh.count, idx),
+        dist=None if nbh.dist is None else gather_points(nbh.dist, idx),
+    )

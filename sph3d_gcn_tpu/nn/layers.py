@@ -1,0 +1,202 @@
+"""Flax layer library mirroring the reference's `utils/sph3gcn_util.py`.
+
+Reproduced behavioral details (all load-bearing for checkpoint parity):
+
+- default activation is **ELU** (ref utils/sph3gcn_util.py:102,176);
+- batch norm runs **after** the activation (ref :157-161) with momentum 0.99
+  and TF's default epsilon 1e-3 (ref :328-332);
+- weights use Xavier/Glorot **uniform** init
+  (tf.contrib.layers.xavier_initializer default, ref :77-80);
+- the pointwise convolution is a plain matmul over flattened points
+  (ref :146-150) — on TPU this is exactly the MXU-shaped GEMM we want;
+- 'weighted' unpooling weights are **proportional to (sqrt-space) distance**,
+  not inverse (ref :317-321) — a reference quirk, reproduced as-is;
+- L2 weight decay applies to conv/fc kernels and BN beta/gamma; collected
+  from the param tree by :func:`l2_regularization` to mirror the reference's
+  losses collection (ref :81-84, :330-331; train_modelnet.py:156-160).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+import flax.linen as fnn
+import jax
+import jax.numpy as jnp
+
+from sph3d_gcn_tpu.ops.conv import depthwise_conv3d
+from sph3d_gcn_tpu.ops.pool import avg_pool3d, max_pool3d
+from sph3d_gcn_tpu.ops.types import Neighborhood
+from sph3d_gcn_tpu.ops.unpool import mean_interpolate, weighted_interpolate
+
+Activation = Callable[[jax.Array], jax.Array] | None
+
+_glorot = fnn.initializers.glorot_uniform()
+
+
+class BatchNorm(fnn.Module):
+    """TF-flavored batch norm: momentum 0.99, epsilon 1e-3
+    (ref utils/sph3gcn_util.py:328-332)."""
+
+    momentum: float = 0.99
+    epsilon: float = 1e-3
+
+    @fnn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        return fnn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+            axis_name=None,
+        )(x)
+
+
+class SeparableConv3d(fnn.Module):
+    """Depthwise spherical graph conv -> pointwise GEMM -> act -> BN.
+
+    Mirrors ``separable_conv3d`` (ref utils/sph3gcn_util.py:88-163).
+    Parameter names keep the reference's variable scoping
+    (``depthwise_weights``, ``weights``, ``biases``) so the TF1 checkpoint
+    converter is a pure name map.
+    """
+
+    num_out_channels: int
+    bin_size: int
+    depth_multiplier: int
+    activation: Activation = fnn.elu
+    with_bn: bool = False
+    with_bias: bool = False
+
+    @fnn.compact
+    def __call__(
+        self,
+        inputs: jax.Array,
+        nbh: Neighborhood,
+        filt_index: jax.Array,
+        train: bool = False,
+    ) -> jax.Array:
+        c_in = inputs.shape[-1]
+        depthwise = self.param(
+            "depthwise_weights",
+            _glorot,
+            (self.bin_size, c_in, self.depth_multiplier),
+        )
+        out = depthwise_conv3d(inputs, depthwise, nbh.idx, nbh.count, filt_index)
+
+        kernel = self.param(
+            "weights", _glorot, (c_in * self.depth_multiplier, self.num_out_channels)
+        )
+        out = jnp.einsum(
+            "bmc,co->bmo", out, kernel, preferred_element_type=jnp.float32
+        )
+
+        if self.with_bias:
+            bias = self.param(
+                "biases", fnn.initializers.zeros_init(), (self.num_out_channels,)
+            )
+            out = out + bias
+        if self.activation is not None:
+            out = self.activation(out)
+        if self.with_bn:
+            out = BatchNorm(name="bn")(out, train)
+        return out
+
+
+class PointwiseConv3d(fnn.Module):
+    """1x1 conv as a flattened matmul (ref utils/sph3gcn_util.py:166-222)."""
+
+    num_out_channels: int
+    activation: Activation = fnn.elu
+    with_bn: bool = False
+    with_bias: bool = False
+
+    @fnn.compact
+    def __call__(self, inputs: jax.Array, train: bool = False) -> jax.Array:
+        c_in = inputs.shape[-1]
+        kernel = self.param("weights", _glorot, (c_in, self.num_out_channels))
+        out = jnp.einsum(
+            "bmc,co->bmo", inputs, kernel, preferred_element_type=jnp.float32
+        )
+        if self.with_bias:
+            bias = self.param(
+                "biases", fnn.initializers.zeros_init(), (self.num_out_channels,)
+            )
+            out = out + bias
+        if self.activation is not None:
+            out = self.activation(out)
+        if self.with_bn:
+            out = BatchNorm(name="bn")(out, train)
+        return out
+
+
+class FullyConnected(fnn.Module):
+    """Dense layer on (B, C) (ref utils/sph3gcn_util.py:225-273)."""
+
+    num_out_channels: int
+    activation: Activation = fnn.elu
+    with_bn: bool = False
+    with_bias: bool = False
+
+    @fnn.compact
+    def __call__(self, inputs: jax.Array, train: bool = False) -> jax.Array:
+        c_in = inputs.shape[-1]
+        kernel = self.param("weights", _glorot, (c_in, self.num_out_channels))
+        out = inputs @ kernel
+        if self.with_bias:
+            bias = self.param(
+                "biases", fnn.initializers.zeros_init(), (self.num_out_channels,)
+            )
+            out = out + bias
+        if self.activation is not None:
+            out = self.activation(out)
+        if self.with_bn:
+            out = BatchNorm(name="bn")(out, train)
+        return out
+
+
+def pool3d(
+    inputs: jax.Array, nbh: Neighborhood, method: str = "max"
+) -> jax.Array:
+    """Pooling dispatch (ref utils/sph3gcn_util.py:276-297)."""
+    if method == "max":
+        out, _ = max_pool3d(inputs, nbh.idx, nbh.count)
+        return out
+    if method == "avg":
+        return avg_pool3d(inputs, nbh.idx, nbh.count)
+    raise ValueError(f"Unknown pooling method {method!r}")
+
+
+def unpool3d(
+    inputs: jax.Array, nbh: Neighborhood, method: str = "mean"
+) -> jax.Array:
+    """Unpooling dispatch (ref utils/sph3gcn_util.py:300-325).
+
+    The 'weighted' branch reproduces the reference's distance-*proportional*
+    weights ``(nn_dist + eps) / (sum nn_dist + eps)`` over the sqrt-space
+    distances (ref :317-321).
+    """
+    if method == "mean":
+        return mean_interpolate(inputs, nbh.idx, nbh.count)
+    if method == "weighted":
+        eps = 1e-7
+        sum_dist = jnp.sum(nbh.dist, axis=-1, keepdims=True)
+        weight = (nbh.dist + eps) / (sum_dist + eps)
+        return weighted_interpolate(inputs, weight, nbh.idx, nbh.count)
+    raise ValueError(f"Unknown unpooling method {method!r}")
+
+
+def l2_regularization(params: Any) -> jax.Array:
+    """Sum of TF-style ``l2_loss`` (= sum(x^2)/2) over regularized params.
+
+    The reference regularizes conv/fc kernels (ref utils/sph3gcn_util.py:81-84)
+    and BN beta/gamma (ref :330-331 + train_modelnet.py:156-160), all scaled
+    by the same config weight_decay. Biases are excluded.
+    """
+    total = jnp.float32(0.0)
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    for path, leaf in flat:
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if name in ("weights", "depthwise_weights", "scale", "bias"):
+            total = total + 0.5 * jnp.sum(jnp.square(leaf))
+    return total
