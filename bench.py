@@ -1,0 +1,92 @@
+"""Benchmark: ModelNet40 classification training throughput (points/sec/chip).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the reference publishes no throughput numbers (BASELINE.md). The
+reference hardware is a Titan XP running TF 1.12 with feed_dict I/O; from the
+per-batch-ms instrumentation it prints (ref train_modelnet.py:311) and
+community reproductions, a full B=32, N=10000 train step takes ~500 ms there,
+i.e. ~640k points/sec. ``vs_baseline`` is measured points/sec/chip divided by
+that 640k estimate; the driver target is >= 3x (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+TITAN_XP_POINTS_PER_SEC_ESTIMATE = 640_000.0
+
+BATCH_SIZE = 16
+WARMUP = 2
+ITERS = 5
+
+
+def main() -> None:
+    import jax
+
+    from sph3d_gcn_tpu.configs import modelnet_config
+    from sph3d_gcn_tpu.models import SPH3DModelNet
+    from sph3d_gcn_tpu.train import (
+        classification_step_factory,
+        exponential_decay_lr,
+        make_optimizer,
+    )
+
+    cfg = modelnet_config()
+    model = SPH3DModelNet(cfg)
+    sched = exponential_decay_lr(0.001, batch_size=BATCH_SIZE)
+    tx = make_optimizer("adam", sched)
+    factory = classification_step_factory(
+        model, tx, weight_decay=cfg.weight_decay
+    )
+
+    rng = np.random.default_rng(0)
+    batches = [
+        {
+            "points": rng.standard_normal(
+                (BATCH_SIZE, cfg.num_input, 3)
+            ).astype(np.float32),
+            "label": rng.integers(0, cfg.num_cls, (BATCH_SIZE,)).astype(
+                np.int32
+            ),
+        }
+        for _ in range(4)
+    ]
+    state = factory.init_state(jax.random.key(0), batches[0])
+    step = factory.train_step()
+    key = jax.random.key(1)
+
+    # NB: sync by pulling the loss scalar to host — on the axon-relay
+    # platform `block_until_ready` does not reliably wait for execution,
+    # so device-only syncs produce bogus (wildly optimistic) timings.
+    for i in range(WARMUP):
+        state, metrics = step(state, batches[i % len(batches)], key)
+        float(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        state, metrics = step(state, batches[i % len(batches)], key)
+    float(metrics["loss"])  # chained state serializes all ITERS steps
+    dt = (time.perf_counter() - t0) / ITERS
+
+    points_per_sec = BATCH_SIZE * cfg.num_input / dt
+    print(
+        json.dumps(
+            {
+                "metric": "ModelNet40 cls train throughput (B=16, N=10000)",
+                "value": round(points_per_sec, 1),
+                "unit": "points/sec/chip",
+                "vs_baseline": round(
+                    points_per_sec / TITAN_XP_POINTS_PER_SEC_ESTIMATE, 3
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

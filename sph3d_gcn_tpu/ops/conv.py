@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from sph3d_gcn_tpu.ops.gather import gather_features
+
 # Byte budget for the (B, T, K, max(C, F)) f32 transients of one chunk.
 _CHUNK_BYTES = 128 * 1024 * 1024
 
@@ -83,7 +85,7 @@ def depthwise_conv3d(
 
     def process(args):
         idx, bins, cnt = args  # (B, T, K), (B, T, K), (B, T)
-        g = _gather_features(inputs, idx)  # (B, T, K, C)
+        g = gather_features(inputs, idx)  # (B, T, K, C)
         k_ids = lax.broadcasted_iota(jnp.int32, idx.shape, 2)
         valid = k_ids < cnt[..., None]  # (B, T, K)
         inv_cnt = 1.0 / jnp.maximum(cnt, 1).astype(jnp.float32)
@@ -124,8 +126,3 @@ def _chunked(x: jax.Array, pad: int, num_chunks: int, t: int) -> jax.Array:
     return jnp.moveaxis(xp.reshape(new_shape), 1, 0)
 
 
-def _gather_features(feats: jax.Array, idx: jax.Array) -> jax.Array:
-    """(B, N, C), (B, T, K) -> (B, T, K, C) neighbor feature gather."""
-    b, t, k = idx.shape
-    flat = jnp.take_along_axis(feats, idx.reshape(b, t * k, 1), axis=1)
-    return flat.reshape(b, t, k, feats.shape[-1])

@@ -1,0 +1,88 @@
+"""Neighbor-feature gather with a TPU-efficient custom VJP.
+
+Every SPH3D op gathers neighbor features ``(B, N, C) x (B, M, K) ->
+(B, M, K, C)``. Autodiff's natural backward is a scatter-add, which XLA
+serializes on TPU (the moral equivalent of the reference's ``atomicAdd``
+paths, e.g. tf_conv3d_gpu.cu:45-54 — but far slower). This module replaces
+it with a sort-based segment sum:
+
+  1. sort edge cotangents by target point index   (vectorized bitonic sort)
+  2. exclusive-prefix-sum the sorted values       (blocked scan)
+  3. per-target sums = differences of the prefix sum at segment boundaries
+     (binary-searched via ``searchsorted``)
+
+All three steps are dense, deterministic, vectorized VPU work — no
+serialized scatter. The result is bitwise-reproducible run to run (unlike
+CUDA atomics; SURVEY.md §5 "race detection").
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _gather_impl(feats: jax.Array, idx: jax.Array) -> jax.Array:
+    b = idx.shape[0]
+    flat = jnp.take_along_axis(
+        feats, idx.reshape(b, -1, 1), axis=1
+    )
+    return flat.reshape(idx.shape + (feats.shape[-1],))
+
+
+def segment_scatter_add(
+    values: jax.Array, idx: jax.Array, num_targets: int
+) -> jax.Array:
+    """Deterministic scatter-add: sum `values` rows into `num_targets` slots.
+
+    Args:
+      values: (B, ..., C) float — edge values; all axes between the batch
+        axis and C are flattened as the edge axis.
+      idx: (B, ...) int32 target indices, same leading shape as `values`
+        minus the channel axis.
+      num_targets: N, the output slot count.
+
+    Returns:
+      (B, N, C) float32 sums.
+    """
+    b = idx.shape[0]
+    keys = idx.reshape(b, -1)
+    num_edges = keys.shape[1]
+    vals = values.reshape(b, num_edges, -1)
+
+    order = jnp.argsort(keys, axis=1)
+    keys_s = jnp.take_along_axis(keys, order, axis=1)
+    vals_s = jnp.take_along_axis(vals, order[..., None], axis=1)
+    csum = jnp.cumsum(vals_s.astype(jnp.float32), axis=1)
+    csum = jnp.pad(csum, ((0, 0), (1, 0), (0, 0)))  # exclusive at position 0
+
+    targets = jnp.arange(num_targets, dtype=keys_s.dtype)
+    ends = jax.vmap(
+        lambda k: jnp.searchsorted(k, targets, side="right")
+    )(keys_s)  # (B, N): #edges with key <= t
+    starts = jnp.pad(ends[:, :-1], ((0, 0), (1, 0)))  # #edges with key < t
+    upper = jnp.take_along_axis(csum, ends[..., None], axis=1)
+    lower = jnp.take_along_axis(csum, starts[..., None], axis=1)
+    return (upper - lower).astype(values.dtype)
+
+
+@jax.custom_vjp
+def gather_features(feats: jax.Array, idx: jax.Array) -> jax.Array:
+    """(B, N, C), (B, M, K) -> (B, M, K, C); also accepts (B, M) index
+    shapes, returning (B, M, C)."""
+    return _gather_impl(feats, idx)
+
+
+def _gather_fwd(feats, idx):
+    return _gather_impl(feats, idx), (idx, feats.shape[1])
+
+
+def _gather_bwd(res, g):
+    idx, num_points = res
+    d_feats = segment_scatter_add(g, idx, num_points)
+    zero = jnp.zeros(idx.shape, dtype=jax.dtypes.float0)
+    return d_feats, zero
+
+
+gather_features.defvjp(_gather_fwd, _gather_bwd)

@@ -20,12 +20,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-
-def _gather_features(feats: jax.Array, idx: jax.Array) -> jax.Array:
-    """(B, N, C), (B, M, K) -> (B, M, K, C)."""
-    b, m, k = idx.shape
-    flat = jnp.take_along_axis(feats, idx.reshape(b, m * k, 1), axis=1)
-    return flat.reshape(b, m, k, feats.shape[-1])
+from sph3d_gcn_tpu.ops.gather import gather_features as _gather_features
 
 
 def _valid_mask(idx: jax.Array, count: jax.Array) -> jax.Array:

@@ -1,0 +1,20 @@
+"""Mesh construction and sharding helpers (no counterpart in the reference,
+which is single-GPU — SURVEY.md §2.7)."""
+
+from sph3d_gcn_tpu.parallel.mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    batch_sharding,
+    make_mesh,
+    replicated,
+    shard_batch,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "batch_sharding",
+    "make_mesh",
+    "replicated",
+    "shard_batch",
+]

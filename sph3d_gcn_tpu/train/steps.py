@@ -1,0 +1,195 @@
+"""Jitted, mesh-sharded train/eval step factories.
+
+Replaces the reference's `sess.run(train_op, feed_dict)` loop
+(ref train_modelnet.py:285-291) with a donated, jitted step. Data
+parallelism is expressed with `jax.sharding`: parameters/optimizer state
+replicated, batch sharded over the mesh 'data' axis — XLA inserts the
+gradient all-reduce over ICI (SURVEY.md §2.7 "TPU-native equivalents").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections.abc import Callable
+from functools import partial
+from typing import Any
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh
+
+from sph3d_gcn_tpu.nn.layers import l2_regularization
+from sph3d_gcn_tpu.parallel.mesh import batch_sharding, replicated
+
+
+class TrainState(flax.struct.PyTreeNode):
+    """Training state: params + BN running stats + optimizer state."""
+
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: optax.OptState
+
+    @classmethod
+    def create(cls, variables, tx):
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(variables["params"]),
+        )
+
+
+# Loss adapters: (logits, batch) -> scalar data loss.
+LossFn = Callable[[jax.Array, dict[str, jax.Array]], jax.Array]
+
+
+@dataclasses.dataclass(frozen=True)
+class StepFactory:
+    """Builds jitted train/eval steps for a model + optimizer + loss.
+
+    Args:
+      model: a Flax module whose __call__ is (points, [cls_label,] train).
+      tx: optax optimizer (created once; its schedule owns the step count).
+      loss_fn: maps (logits, batch) to the data loss.
+      weight_decay: reference-style L2 coefficient applied to
+        ``l2_regularization`` of the params, or None (ref
+        train_modelnet.py:156-160).
+      mesh: optional device mesh; when given, steps are compiled with
+        replicated state and batch sharded over the 'data' axis.
+      model_kwargs_keys: batch keys forwarded positionally to the model
+        after `points` (e.g. ('cls_label',) for the onehot ShapeNet model).
+    """
+
+    model: Any
+    tx: optax.GradientTransformation
+    loss_fn: LossFn
+    weight_decay: float | None = None
+    mesh: Mesh | None = None
+    model_kwargs_keys: tuple[str, ...] = ()
+
+    def init_state(self, rng, sample_batch) -> TrainState:
+        extra = [sample_batch[k] for k in self.model_kwargs_keys]
+        variables = self.model.init(
+            rng, sample_batch["points"], *extra, train=False
+        )
+        state = TrainState.create(variables, self.tx)
+        if self.mesh is not None:
+            state = jax.device_put(state, replicated(self.mesh))
+        return state
+
+    def _losses(self, params, batch_stats, batch, rng, train):
+        extra = [batch[k] for k in self.model_kwargs_keys]
+        variables = {"params": params, "batch_stats": batch_stats}
+        rngs = {"dropout": rng} if train else None
+        if train:
+            logits, mutated = self.model.apply(
+                variables,
+                batch["points"],
+                *extra,
+                train=True,
+                rngs=rngs,
+                mutable=["batch_stats"],
+            )
+            new_stats = mutated["batch_stats"]
+        else:
+            logits = self.model.apply(
+                variables, batch["points"], *extra, train=False
+            )
+            new_stats = batch_stats
+        data_loss = self.loss_fn(logits, batch)
+        total = data_loss
+        if self.weight_decay is not None:
+            total = total + self.weight_decay * l2_regularization(params)
+        return total, (data_loss, logits, new_stats)
+
+    def train_step(self):
+        """Returns jitted (state, batch, rng) -> (state, metrics)."""
+
+        def step(state: TrainState, batch, rng):
+            rng = jax.random.fold_in(rng, state.step)
+            grad_fn = jax.value_and_grad(self._losses, has_aux=True)
+            (total, (data_loss, logits, new_stats)), grads = grad_fn(
+                state.params, state.batch_stats, batch, rng, True
+            )
+            updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(
+                step=state.step + 1,
+                params=new_params,
+                batch_stats=new_stats,
+                opt_state=new_opt,
+            )
+            metrics = {"loss": total, "data_loss": data_loss, "logits": logits}
+            return new_state, metrics
+
+        if self.mesh is None:
+            return jax.jit(step, donate_argnums=(0,))
+        rep = replicated(self.mesh)
+        data = batch_sharding(self.mesh)
+        return jax.jit(
+            step,
+            donate_argnums=(0,),
+            in_shardings=(rep, data, rep),
+            out_shardings=(rep, {"loss": rep, "data_loss": rep, "logits": data}),
+        )
+
+    def eval_step(self):
+        """Returns jitted (state, batch) -> (loss, logits)."""
+
+        def step(state: TrainState, batch):
+            total, (data_loss, logits, _) = self._losses(
+                state.params, state.batch_stats, batch, jax.random.key(0), False
+            )
+            return {"loss": total, "data_loss": data_loss, "logits": logits}
+
+        if self.mesh is None:
+            return jax.jit(step)
+        rep = replicated(self.mesh)
+        data = batch_sharding(self.mesh)
+        return jax.jit(
+            step,
+            in_shardings=(rep, data),
+            out_shardings={"loss": rep, "data_loss": rep, "logits": data},
+        )
+
+
+def classification_step_factory(
+    model, tx, weight_decay=None, mesh=None
+) -> StepFactory:
+    from sph3d_gcn_tpu.models.modelnet import classification_loss
+
+    return StepFactory(
+        model=model,
+        tx=tx,
+        loss_fn=lambda logits, batch: classification_loss(logits, batch["label"]),
+        weight_decay=weight_decay,
+        mesh=mesh,
+    )
+
+
+def segmentation_step_factory(
+    model, tx, weight_decay=None, mesh=None, inner_masked=False,
+    model_kwargs_keys=(),
+) -> StepFactory:
+    from sph3d_gcn_tpu.models.segmentation import (
+        inner_masked_segmentation_loss,
+        segmentation_loss,
+    )
+
+    if inner_masked:
+        loss_fn = lambda logits, batch: inner_masked_segmentation_loss(
+            logits, batch["label"], batch["inner_label"]
+        )
+    else:
+        loss_fn = lambda logits, batch: segmentation_loss(logits, batch["label"])
+    return StepFactory(
+        model=model,
+        tx=tx,
+        loss_fn=loss_fn,
+        weight_decay=weight_decay,
+        mesh=mesh,
+        model_kwargs_keys=model_kwargs_keys,
+    )
