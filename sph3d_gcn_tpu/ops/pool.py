@@ -34,6 +34,12 @@ def max_pool3d(
 ) -> tuple[jax.Array, jax.Array]:
     """Max pooling over neighborhoods.
 
+    The max is a direct masked reduction (fast on the VPU). Gradient-wise,
+    ``jnp.max`` splits ties evenly where the reference routes everything to
+    the first max in k-order (strict ``>`` at tf_pool3d_gpu.cu:26) — exact
+    float ties are measure-zero on real data, and the forward values and
+    reported ``max_index`` match the reference exactly.
+
     Args:
       inputs:   (B, N, C) float32.
       nn_index: (B, M, K) int32 neighbor indices (M <= N coarse points).
@@ -48,8 +54,8 @@ def max_pool3d(
     valid = _valid_mask(nn_index, nn_count)
     neg_inf = jnp.finfo(g.dtype).min
     gm = jnp.where(valid[..., None], g, neg_inf)
+    out = jnp.max(gm, axis=2)
     arg_k = jnp.argmax(gm, axis=2)  # (B, M, C); first max in k-order
-    out = jnp.take_along_axis(gm, arg_k[:, :, None, :], axis=2).squeeze(2)
     max_index = jnp.take_along_axis(
         nn_index[..., None], arg_k[:, :, None, :], axis=2
     ).squeeze(2)
