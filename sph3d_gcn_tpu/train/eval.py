@@ -1,0 +1,108 @@
+"""Evaluation protocols: multi-vote classification and coverage-voting
+segmentation.
+
+- Classification: ``num_votes`` forward passes per batch — vote 0 on the raw
+  cloud, later votes on augmented copies — logits summed before argmax
+  (ref modelnet40_cls/evaluate_modelnet.py:181-198, augment at :71-79).
+- Segmentation blocks: random-resample each variable-size block to the fixed
+  model size until every *inner* point has been sampled at least once,
+  accumulating logits per original block point
+  (ref s3dis_seg/evaluate_s3dis_with_overlap.py:270-302; same scheme in
+  shapenet/scannet/ruemonge eval scripts).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+
+from sph3d_gcn_tpu.data import augment as aug
+
+
+def vote_augment(batch_xyz: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """The classification vote augmentation
+    (ref evaluate_modelnet.py:71-79)."""
+    x = aug.rotate_point_cloud(batch_xyz, rng)
+    x = aug.rotate_perturbation_point_cloud(x, rng)
+    x = aug.random_scale_point_cloud(x, rng)
+    x = aug.shift_point_cloud(x, rng)
+    return x
+
+
+def vote_classify(
+    forward: Callable[[np.ndarray], np.ndarray],
+    batch_xyz: np.ndarray,
+    num_votes: int = 12,
+    rng: np.random.Generator | None = None,
+) -> np.ndarray:
+    """Sum logits over augmented votes (ref evaluate_modelnet.py:181-198).
+
+    Args:
+      forward: (B, N, 3) -> (B, num_cls) logits.
+      batch_xyz: raw eval batch.
+      num_votes: vote count (vote 0 is un-augmented).
+      rng: PRNG for votes >= 1.
+
+    Returns:
+      (B, num_cls) summed logits.
+    """
+    if rng is None:
+        rng = np.random.default_rng(0)
+    total = None
+    for vote in range(num_votes):
+        x = batch_xyz if vote == 0 else vote_augment(batch_xyz.copy(), rng)
+        logits = np.asarray(forward(x))
+        total = logits if total is None else total + logits
+    return total
+
+
+def resample_block(
+    num_points: int, target: int, rng: np.random.Generator
+) -> np.ndarray:
+    """The reference's replace=True/False resampling rule
+    (ref train_s3dis.py:343-346, evaluate_s3dis_with_overlap.py:274-277)."""
+    if num_points < target:
+        return rng.choice(num_points, target, replace=True)
+    return rng.choice(num_points, target, replace=False)
+
+
+def coverage_eval_block(
+    forward: Callable[[np.ndarray], np.ndarray],
+    block_points: np.ndarray,
+    inner: np.ndarray,
+    num_model_points: int,
+    rng: np.random.Generator | None = None,
+    max_rounds: int = 100,
+) -> np.ndarray:
+    """Accumulate logits for ONE block until every inner point is covered.
+
+    Args:
+      forward: (1, num_model_points, D) -> (1, num_model_points, C) logits.
+      block_points: (P, D) stored block points (inner + context).
+      inner: (P,) inner mask.
+      num_model_points: the model's fixed point count (e.g. 8192).
+      rng: PRNG for resampling.
+      max_rounds: safety bound (the reference loops unboundedly,
+        ref evaluate_s3dis_with_overlap.py:270).
+
+    Returns:
+      (P, C) accumulated logits per original block point.
+    """
+    if rng is None:
+        rng = np.random.default_rng(0)
+    num = block_points.shape[0]
+    inner_idx = np.asarray(inner) == 1
+    inner_size = int(inner_idx.sum())
+    sample_count = np.zeros(num, np.int64)
+    pred_sum = None
+    for _ in range(max_rounds):
+        sel = resample_block(num, num_model_points, rng)
+        logits = np.asarray(forward(block_points[None, sel]))[0]
+        if pred_sum is None:
+            pred_sum = np.zeros((num, logits.shape[-1]), np.float32)
+        np.add.at(pred_sum, sel, logits)
+        sample_count[sel] += 1
+        if int((sample_count[inner_idx] > 0).sum()) >= inner_size:
+            break
+    return pred_sum

@@ -1,0 +1,151 @@
+"""Epoch-driven training loop with logging and checkpoint/resume.
+
+Replaces the reference's per-dataset `train_*.py` session loops
+(e.g. ref modelnet40_cls/train_modelnet.py:241-311): per-epoch train +
+eval passes, per-50-batch loss/accuracy logs, per-batch wall-clock, per-epoch
+checkpoints with auto-resume.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections.abc import Callable, Iterator
+from datetime import datetime
+from typing import Any
+
+import jax
+import numpy as np
+
+from sph3d_gcn_tpu.data.datasets import pad_batch
+from sph3d_gcn_tpu.train.checkpoint import Checkpointer
+from sph3d_gcn_tpu.train.steps import StepFactory
+
+
+class Logger:
+    """Tee to stdout and a log file (ref train_modelnet.py:56,68-71)."""
+
+    def __init__(self, log_dir: str, name: str = "log_train.txt"):
+        os.makedirs(log_dir, exist_ok=True)
+        self._f = open(os.path.join(log_dir, name), "a")
+
+    def log(self, msg: str) -> None:
+        self._f.write(msg + "\n")
+        self._f.flush()
+        print(msg, flush=True)
+
+    def close(self) -> None:
+        self._f.close()
+
+
+def _batch_accuracy(logits: np.ndarray, batch: dict, bsize: int) -> tuple[int, int]:
+    if logits.ndim == 2:  # classification
+        pred = logits[:bsize].argmax(-1)
+        return int((pred == batch["label"][:bsize]).sum()), bsize
+    pred = logits[:bsize].argmax(-1)
+    label = batch["label"][:bsize]
+    if "inner_label" in batch:
+        mask = batch["inner_label"][:bsize] > 0
+        return int(((pred == label) & mask).sum()), int(mask.sum())
+    return int((pred == label).sum()), pred.size
+
+
+def fit(
+    factory: StepFactory,
+    train_batches: Callable[[int], Iterator[dict[str, np.ndarray]]],
+    eval_batches: Callable[[], Iterator[dict[str, np.ndarray]]] | None,
+    batch_size: int,
+    num_epochs: int,
+    log_dir: str,
+    seed: int = 0,
+    log_every: int = 50,
+) -> Any:
+    """Train for ``num_epochs``, checkpointing per epoch, resuming from the
+    latest checkpoint in ``log_dir`` if present.
+
+    Args:
+      factory: configured StepFactory.
+      train_batches: epoch -> iterator of batches (host numpy dicts).
+      eval_batches: optional () -> iterator for the per-epoch eval pass.
+      batch_size: fixed compile-time batch size (short batches get padded).
+      num_epochs: total epochs (resume-aware).
+      log_dir: log + checkpoint directory.
+
+    Returns:
+      final TrainState.
+    """
+    logger = Logger(log_dir)
+    ckpt = Checkpointer(log_dir)
+    rng = jax.random.key(seed)
+
+    # Init from the first training batch of epoch 0.
+    first = next(iter(train_batches(0)))
+    first, _ = pad_batch(first, batch_size)
+    state = factory.init_state(jax.random.key(seed), first)
+
+    start_epoch = 0
+    latest = ckpt.latest_epoch()
+    if latest is not None:
+        state = ckpt.restore(state, latest)
+        start_epoch = latest + 1
+        logger.log(f"{datetime.now()} - resumed from epoch {latest}")
+
+    train_step = factory.train_step()
+    eval_step = factory.eval_step() if eval_batches is not None else None
+
+    for epoch in range(start_epoch, num_epochs):
+        logger.log(f"**** EPOCH {epoch:03d} ****")
+        total_correct = total_seen = 0
+        loss_sum = 0.0
+        batch_idx = 0
+        train_time = 0.0
+        for batch in train_batches(epoch):
+            batch, bsize = pad_batch(batch, batch_size)
+            now = time.time()
+            state, metrics = train_step(state, batch, rng)
+            loss = float(metrics["loss"])  # host sync
+            train_time += time.time() - now
+            logits = np.asarray(metrics["logits"])
+            c, s = _batch_accuracy(logits, batch, bsize)
+            total_correct += c
+            total_seen += s
+            loss_sum += loss
+            batch_idx += 1
+            if batch_idx % log_every == 0:
+                logger.log(f" ---- batch: {batch_idx:03d} ----")
+                logger.log(f"mean loss: {loss_sum / log_every:f}")
+                logger.log(
+                    f"accuracy: {total_correct / max(1, total_seen):f}"
+                )
+                total_correct = total_seen = 0
+                loss_sum = 0.0
+        if batch_idx:
+            logger.log(
+                "training one batch require %.2f milliseconds"
+                % (1000 * train_time / batch_idx)
+            )
+
+        if eval_step is not None:
+            logger.log(f"---- EPOCH {epoch:03d} EVALUATION ----")
+            ev_correct = ev_seen = 0
+            ev_loss = 0.0
+            ev_batches = 0
+            for batch in eval_batches():
+                batch, bsize = pad_batch(batch, batch_size)
+                metrics = eval_step(state, batch)
+                ev_loss += float(metrics["loss"])
+                logits = np.asarray(metrics["logits"])
+                c, s = _batch_accuracy(logits, batch, bsize)
+                ev_correct += c
+                ev_seen += s
+                ev_batches += 1
+            if ev_batches:
+                logger.log(f"eval mean loss: {ev_loss / ev_batches:f}")
+                logger.log(f"eval accuracy: {ev_correct / max(1, ev_seen):f}")
+
+        ckpt.save(epoch, state)
+        logger.log(f"Model saved at epoch {epoch}")
+
+    ckpt.close()
+    logger.close()
+    return state

@@ -1,0 +1,183 @@
+"""End-to-end mini training runs: loop, checkpoint/resume, eval protocols,
+dataset pipelines."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from sph3d_gcn_tpu.configs import SPH3DConfig
+from sph3d_gcn_tpu.data.datasets import (
+    load_modelnet_records,
+    load_scene_blocks,
+    modelnet_batches,
+    pad_batch,
+    resample_indices,
+    scene_batches,
+)
+from sph3d_gcn_tpu.data.tfrecord import TFRecordWriter
+from sph3d_gcn_tpu.models import SPH3DSceneSeg
+from sph3d_gcn_tpu.train import make_optimizer, segmentation_step_factory
+from sph3d_gcn_tpu.train.checkpoint import (
+    Checkpointer,
+    load_config_snapshot,
+    snapshot_config,
+)
+from sph3d_gcn_tpu.train.eval import coverage_eval_block, vote_classify
+from sph3d_gcn_tpu.train.loop import fit
+
+
+def _tiny_cfg():
+    return SPH3DConfig(
+        num_input=64, num_cls=4, mlp=8, num_sample=(32, 16),
+        radius=(0.5, 0.9), nn_uplimit=(8, 8),
+        channels=((8, 8), (8, 8)), multiplier=((1, 1), (1, 1)),
+        weight_decay=None,
+    )
+
+
+def _write_block_file(path, num_blocks=6, seed=0):
+    rng = np.random.default_rng(seed)
+    with TFRecordWriter(path) as w:
+        for _ in range(num_blocks):
+            n = rng.integers(40, 120)
+            xyz = rng.standard_normal((n, 3)).astype(np.float32)
+            rgb = rng.random((n, 3)).astype(np.float32)
+            label = rng.integers(0, 4, n).astype(np.int32)
+            inner = rng.integers(0, 2, n).astype(np.int32)
+            index = np.arange(n, dtype=np.int32)
+            w.write_example({
+                "xyz_raw": xyz.tobytes(),
+                "rgb_raw": rgb.tobytes(),
+                "seg_label": label.tobytes(),
+                "inner_label": inner.tobytes(),
+                "index_label": index.tobytes(),
+                "scene_label": np.int64(0),
+                "scene_idx": np.int64(1),
+            })
+
+
+def test_scene_pipeline_and_fit_with_resume(tmp_path):
+    path = str(tmp_path / "blocks.tfrecord")
+    _write_block_file(path)
+    blocks = load_scene_blocks([path])
+    assert len(blocks) == 6
+    assert blocks[0].points.shape[1] == 6
+
+    cfg = _tiny_cfg()
+    model = SPH3DSceneSeg(cfg)
+    tx = make_optimizer("adam", 0.001)
+    fac = segmentation_step_factory(model, tx, inner_masked=True)
+    log_dir = str(tmp_path / "log")
+
+    def train_it(epoch):
+        return scene_batches(
+            blocks, batch_size=2, num_point=cfg.num_input,
+            rng=np.random.default_rng(epoch),
+        )
+
+    state = fit(fac, train_it, None, batch_size=2, num_epochs=2,
+                log_dir=log_dir)
+    assert int(state.step) == 6  # 2 epochs x 3 batches
+
+    # Resume: one more epoch continues from epoch 2.
+    state2 = fit(fac, train_it, None, batch_size=2, num_epochs=3,
+                 log_dir=log_dir)
+    assert int(state2.step) == 9
+    log = open(f"{log_dir}/log_train.txt").read()
+    assert "resumed from epoch" in log
+
+
+def test_checkpointer_roundtrip(tmp_path):
+    cfg = _tiny_cfg()
+    model = SPH3DSceneSeg(cfg)
+    tx = make_optimizer("adam", 0.001)
+    fac = segmentation_step_factory(model, tx, inner_masked=True)
+    rng = np.random.default_rng(0)
+    batch = {
+        "points": rng.standard_normal((2, 64, 6)).astype(np.float32),
+        "label": rng.integers(0, 4, (2, 64)).astype(np.int32),
+        "inner_label": np.ones((2, 64), np.int32),
+    }
+    state = fac.init_state(jax.random.key(0), batch)
+    ck = Checkpointer(str(tmp_path / "ck"))
+    ck.save(5, state)
+    assert ck.latest_epoch() == 5
+    restored = ck.restore(state, 5)
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["logits"]["weights"]),
+        np.asarray(state.params["logits"]["weights"]),
+    )
+    ck.close()
+
+
+def test_config_snapshot_roundtrip(tmp_path):
+    cfg = _tiny_cfg()
+    snapshot_config(str(tmp_path), cfg)
+    loaded = load_config_snapshot(str(tmp_path))
+    assert loaded == cfg
+
+
+def test_modelnet_records_roundtrip(tmp_path):
+    path = str(tmp_path / "mn.tfrecord")
+    rng = np.random.default_rng(1)
+    with TFRecordWriter(path) as w:
+        for i in range(5):
+            xyz = rng.standard_normal((32, 3)).astype(np.float32)
+            w.write_example({"xyz_raw": xyz.tobytes(), "label": np.int64(i)})
+    recs = load_modelnet_records([path])
+    assert len(recs) == 5 and recs[3].label == 3
+    batches = list(modelnet_batches(recs, 2, shuffle=False))
+    assert len(batches) == 3
+    assert batches[0]["points"].shape == (2, 32, 3)
+    # axis swap applied
+    np.testing.assert_array_equal(
+        batches[0]["points"][0], recs[0].xyz[:, [0, 2, 1]]
+    )
+
+
+def test_pad_batch():
+    batch = {"points": np.ones((3, 8, 3)), "label": np.ones(3, np.int32)}
+    padded, bsize = pad_batch(batch, 5)
+    assert bsize == 3
+    assert padded["points"].shape[0] == 5
+    assert (padded["points"][3:] == 0).all()
+
+
+def test_resample_indices_rule():
+    rng = np.random.default_rng(0)
+    short = resample_indices(10, 20, rng)
+    assert len(short) == 20  # with replacement
+    full = resample_indices(30, 20, rng)
+    assert len(set(full.tolist())) == 20  # without replacement
+
+
+def test_vote_classify_accumulates():
+    calls = []
+
+    def forward(x):
+        calls.append(x.copy())
+        return np.ones((x.shape[0], 4))
+
+    batch = np.random.default_rng(2).standard_normal((2, 16, 3)).astype(np.float32)
+    total = vote_classify(forward, batch, num_votes=3)
+    np.testing.assert_allclose(total, 3.0)
+    # vote 0 is un-augmented
+    np.testing.assert_array_equal(calls[0], batch)
+    assert not np.allclose(calls[1], batch)
+
+
+def test_coverage_eval_block_covers_all_inner():
+    rng = np.random.default_rng(3)
+    pts = rng.standard_normal((50, 6)).astype(np.float32)
+    inner = (rng.random(50) < 0.5).astype(np.int32)
+    seen = np.zeros(50, np.int64)
+
+    def forward(x):
+        return np.ones((1, x.shape[1], 4))
+
+    logits = coverage_eval_block(forward, pts, inner, num_model_points=20,
+                                 rng=rng)
+    assert logits.shape == (50, 4)
+    covered = logits.sum(axis=1) > 0
+    assert covered[inner == 1].all()
