@@ -71,19 +71,99 @@ def _pairwise_dist(q_tile: jax.Array, db: jax.Array, db_sq: jax.Array) -> jax.Ar
     return jnp.sqrt(jnp.maximum(d2, 0.0))
 
 
-def _first_k_in_order(mask: jax.Array, num_db: int, k: int):
+def _first_k_in_order(
+    mask: jax.Array,
+    num_db: int,
+    k: int,
+    payload: jax.Array | None = None,
+    payload_bits: int = 0,
+):
     """Select the first `k` True positions of `mask` along the last axis.
 
-    Returns (idx (.., k) int32, valid (.., k) bool) with selected indices in
-    ascending point order — the order the CUDA scan stores them
-    (ref tf_nnquery_gpu.cu:49-55).
+    Returns (idx (.., k) int32, valid (.., k) bool[, payload (.., k) int32])
+    with selected indices in ascending point order — the order the CUDA scan
+    stores them (ref tf_nnquery_gpu.cu:49-55).
+
+    ``payload`` is an optional small non-negative int32 per (query, db) pair
+    that rides along in the low bits of the integer top_k score — the
+    selected edges' payloads come back for free, with no per-edge gather.
     """
     n_ids = lax.broadcasted_iota(jnp.int32, mask.shape, mask.ndim - 1)
-    score = jnp.where(mask, num_db - n_ids, 0)        # valid scores >= 1
-    top_vals, _ = lax.top_k(score, k)                 # descending => ascending n
+    base = num_db - n_ids  # valid scores >= 1, ascending-n == descending
+    if payload is not None:
+        score = jnp.where(mask, (base << payload_bits) | payload, 0)
+    else:
+        score = jnp.where(mask, base, 0)
+    top_vals, _ = lax.top_k(score, k)  # descending => ascending n
     valid = top_vals > 0
+    if payload is not None:
+        idx = jnp.where(valid, num_db - (top_vals >> payload_bits), 0)
+        pay = jnp.where(valid, top_vals & ((1 << payload_bits) - 1), 0)
+        return idx.astype(jnp.int32), valid, pay.astype(jnp.int32)
     idx = jnp.where(valid, num_db - top_vals, 0)
-    return idx.astype(jnp.int32), valid
+    return idx.astype(jnp.int32), valid, None
+
+
+def _octant_code(dx: jax.Array, dy: jax.Array, n_bins: int) -> jax.Array:
+    """Azimuth bin of ``theta = atan2(dy, dx)`` folded to [0, 2*pi), via sign
+    tests only — no atan2, no gather. Matches the reference binning
+    (ref tf_buildkernel_gpu.cu:57-66) everywhere except within float
+    rounding of the exact sector boundaries (measure-zero on real data).
+
+    Supports n_bins in {4, 8} (every reference config uses 8).
+    """
+    pos_x = dx > 0
+    neg_x = dx < 0
+    zero_x = dx == 0
+    pos_y = dy > 0
+    neg_y = dy < 0
+    zero_y = dy == 0
+    adx = jnp.abs(dx)
+    ady = jnp.abs(dy)
+
+    if n_bins == 4:
+        # Quadrants of theta' = theta + pi, boundaries at multiples of pi/2.
+        code = jnp.select(
+            [
+                (neg_x & neg_y) | (zero_y & neg_x),   # theta in [-pi, -pi/2)
+                neg_y,                                 # [-pi/2, 0)  (dx >= 0)
+                (pos_x & pos_y) | (zero_y & ~neg_x),   # [0, pi/2)
+                jnp.full(dx.shape, True),              # [pi/2, pi)
+            ],
+            [0, 1, 2, 3],
+        )
+        return code.astype(jnp.int32)
+
+    if n_bins != 8:
+        raise ValueError(f"octant fast path supports n in (4, 8), got {n_bins}")
+
+    # Octants of theta' = theta + pi; octant k <=> theta' in [k*pi/4, (k+1)*pi/4).
+    lower = jnp.select(  # dy < 0 half: theta in [-pi, 0)
+        [
+            neg_x & (ady < adx),  # [-pi, -3pi/4)
+            neg_x,                # [-3pi/4, -pi/2)  (ady >= adx)
+            ady > adx,            # [-pi/2, -pi/4)   (dx >= 0)
+            jnp.full(dx.shape, True),  # [-pi/4, 0)
+        ],
+        [0, 1, 2, 3],
+    )
+    upper = jnp.select(  # dy >= 0 half: theta in [0, pi]
+        [
+            pos_x & (ady < adx),  # [0, pi/4)
+            pos_x,                # [pi/4, pi/2)   (ady >= adx)
+            neg_x & (ady > adx),  # (pi/2, 3pi/4)
+            neg_x,                # [3pi/4, pi)    (ady <= adx)
+            jnp.full(dx.shape, True),  # dx == 0: theta = pi/2 exactly -> 6
+        ],
+        [4, 5, 6, 7, 6],
+    )
+    code = jnp.where(neg_y, lower, upper)
+    # Exact-axis cases with dy == 0:
+    # atan2(0, dx>0) = 0 -> bin 4; atan2(0, dx<0) = pi -> clamped -pi -> 0;
+    # atan2(0, 0) = 0 -> bin 4.
+    code = jnp.where(zero_y & neg_x, 0, code)
+    code = jnp.where(zero_y & ~neg_x, 4, code)
+    return code.astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "nn_sample", "dilation_rate"))
@@ -112,6 +192,58 @@ def build_sphere_neighbor(
       Neighborhood(idx (B,M,K) int32, count (B,M) int32, dist (B,M,K) f32
       in sqrt-space).
     """
+    nbh, _ = _sphere_query(
+        database, query, radius, nn_sample, dilation_rate, kernel=None
+    )
+    return nbh
+
+
+@functools.partial(
+    jax.jit, static_argnames=("radius", "nn_sample", "kernel", "dilation_rate")
+)
+def build_sphere_neighbor_and_bins(
+    database: jax.Array,
+    query: jax.Array,
+    radius: float,
+    nn_sample: int,
+    kernel: tuple[int, int, int] = (8, 2, 2),
+    dilation_rate: float | None = None,
+) -> tuple[Neighborhood, jax.Array]:
+    """Sphere query + spherical kernel bins, fused into one pass.
+
+    Produces exactly ``build_sphere_neighbor`` + ``spherical_kernel`` but
+    computes the azimuth/elevation bin of every candidate pair with sign
+    tests *inside* the distance tile and packs it into the low bits of the
+    integer top_k score — so the selected edges' bins come back with the
+    indices, eliminating the per-edge xyz gather that dominates the
+    standalone kernel-bin op on TPU.
+
+    Supported fast path: kernel = (4|8, 2, q). Other kernels fall back to
+    the two-op path.
+
+    Returns:
+      (Neighborhood, filt_index (B, M, K) int32 with bin 0 = self-loop).
+    """
+    n_bins, p_bins, _ = kernel
+    if n_bins not in (4, 8) or p_bins != 2:
+        from sph3d_gcn_tpu.ops.kernelbin import spherical_kernel
+
+        nbh = build_sphere_neighbor(
+            database, query, radius, nn_sample, dilation_rate
+        )
+        if dilation_rate is not None:
+            radius = float(dilation_rate) * float(radius)
+        return nbh, spherical_kernel(database, query, nbh, radius, kernel)
+
+    return _sphere_query(
+        database, query, radius, nn_sample, dilation_rate, kernel=kernel
+    )
+
+
+_M_EPS = 1.01e-3  # ref tf_buildkernel_gpu.cu:6
+
+
+def _sphere_query(database, query, radius, nn_sample, dilation_rate, kernel):
     db = database[..., :3].astype(jnp.float32)
     q = query[..., :3].astype(jnp.float32)
     if dilation_rate is not None:
@@ -149,22 +281,55 @@ def build_sphere_neighbor(
 
         r0 = jnp.full(d.shape[:2], radius, dtype=jnp.float32)
         r_final, _ = lax.while_loop(cond, body, (r0, jnp.int32(0)))
-
         mask, total = count_at(r_final)
-        idx, valid = _first_k_in_order(mask, num_db, k)
+
+        payload = None
+        payload_bits = 0
+        if kernel is not None:
+            # Per-pair azimuth octant + elevation sign, packed into the
+            # top_k score (4 bits). The broadcasted deltas fuse into the
+            # score computation — nothing extra materializes.
+            dx = db[:, None, :, 0] - q_tile[:, :, None, 0]
+            dy = db[:, None, :, 1] - q_tile[:, :, None, 1]
+            dz = db[:, None, :, 2] - q_tile[:, :, None, 2]
+            n_code = _octant_code(dx, dy, kernel[0])
+            p_code = (dz >= 0).astype(jnp.int32)
+            payload = (p_code << 3) | n_code
+            payload_bits = 4
+
+        idx, valid, pay = _first_k_in_order(
+            mask, num_db, k, payload, payload_bits
+        )
         d_sel = jnp.take_along_axis(d, idx, axis=-1)
         # Quirk: stored distance is sqrt of the (already Euclidean) distance
         # (ref tf_nnquery_gpu.cu:54).
         nn_dist = jnp.where(valid, jnp.sqrt(d_sel), 0.0)
         count = jnp.minimum(total, k).astype(jnp.int32)
-        return idx, count, nn_dist
 
-    idx_t, cnt_t, dist_t = lax.map(process_tile, q_tiles)
+        filt = jnp.zeros_like(idx)
+        if kernel is not None:
+            n_bins, p_bins, q_bins = kernel
+            n_id = pay & 7
+            p_id = pay >> 3
+            gamma = nn_dist * q_bins / (radius + 1e-6)
+            q_id = jnp.minimum(q_bins - 1, gamma.astype(jnp.int32))
+            bins = q_id * p_bins * n_bins + p_id * n_bins + n_id + 1
+            # Self-loop rule (ref tf_buildkernel_gpu.cu:52-54).
+            is_far = (nn_dist > _M_EPS) & (jnp.abs(nn_dist - _M_EPS) > 1e-6)
+            filt = jnp.where(is_far & valid, bins, 0).astype(jnp.int32)
+
+        return idx, count, nn_dist, filt
+
+    idx_t, cnt_t, dist_t, filt_t = lax.map(process_tile, q_tiles)
     # (n_tiles, B, T, ...) -> (B, M, ...)
     idx = idx_t.transpose(1, 0, 2, 3).reshape(batch, num_tiles * tile, k)
     cnt = cnt_t.transpose(1, 0, 2).reshape(batch, num_tiles * tile)
     dist = dist_t.transpose(1, 0, 2, 3).reshape(batch, num_tiles * tile, k)
-    return Neighborhood(idx[:, :num_q], cnt[:, :num_q], dist[:, :num_q])
+    nbh = Neighborhood(idx[:, :num_q], cnt[:, :num_q], dist[:, :num_q])
+    if kernel is None:
+        return nbh, None
+    filt = filt_t.transpose(1, 0, 2, 3).reshape(batch, num_tiles * tile, k)
+    return nbh, filt[:, :num_q]
 
 
 @functools.partial(
@@ -205,7 +370,7 @@ def build_cube_neighbor(
     def process_tile(q_tile):
         delta = db[:, None, :, :] - q_tile[:, :, None, :]  # (B, T, N, 3)
         inside = jnp.all(jnp.abs(delta) < half, axis=-1)   # (B, T, N)
-        idx, valid = _first_k_in_order(inside, num_db, k)
+        idx, valid, _ = _first_k_in_order(inside, num_db, k)
         d_sel = jnp.take_along_axis(
             delta, idx[..., None], axis=2
         )  # (B, T, K, 3)
