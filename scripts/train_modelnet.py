@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""ModelNet40 classification training (counterpart of
+`modelnet40_cls/train_modelnet.py`).
+
+Reads the reference-format tfrecords ({xyz_raw, label}) listed in
+``<data_dir>/train_files.txt`` / ``test_files.txt``, trains the SPH3D
+classifier with the reference schedule, checkpoints per epoch, auto-resumes.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--data_dir", required=True)
+    parser.add_argument("--log_dir", default="log_modelnet")
+    parser.add_argument("--max_epoch", type=int, default=251)
+    parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--learning_rate", type=float, default=0.001)
+    parser.add_argument("--momentum", type=float, default=0.9)
+    parser.add_argument("--optimizer", default="adam", choices=["adam", "momentum"])
+    parser.add_argument("--decay_step", type=int, default=250000)
+    parser.add_argument("--decay_rate", type=float, default=0.7)
+    parser.add_argument("--num_input", type=int, default=10000)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--platform", default=None,
+                        help="force a jax backend (e.g. cpu); the environment's "
+                             "sitecustomize may pre-register a TPU platform, so "
+                             "env vars alone cannot override it")
+    args = parser.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    from sph3d_gcn_tpu.configs import modelnet_config
+    from sph3d_gcn_tpu.data.datasets import (
+        load_modelnet_records,
+        modelnet_batches,
+    )
+    from sph3d_gcn_tpu.models import SPH3DModelNet
+    from sph3d_gcn_tpu.train import (
+        classification_step_factory,
+        exponential_decay_lr,
+        make_optimizer,
+    )
+    from sph3d_gcn_tpu.train.augment_policies import modelnet_train_augment
+    from sph3d_gcn_tpu.train.checkpoint import snapshot_config
+    from sph3d_gcn_tpu.train.loop import fit
+
+    cfg = modelnet_config(num_input=args.num_input)
+    snapshot_config(args.log_dir, cfg)
+    model = SPH3DModelNet(cfg)
+    schedule = exponential_decay_lr(
+        args.learning_rate, args.batch_size, args.decay_step, args.decay_rate
+    )
+    tx = make_optimizer(args.optimizer, schedule, momentum=args.momentum)
+    factory = classification_step_factory(
+        model, tx, weight_decay=cfg.weight_decay
+    )
+
+    train_files = [
+        line.rstrip()
+        for line in open(os.path.join(args.data_dir, "train_files.txt"))
+    ]
+    test_files = [
+        line.rstrip()
+        for line in open(os.path.join(args.data_dir, "test_files.txt"))
+    ]
+    train_records = load_modelnet_records(train_files)
+    test_records = load_modelnet_records(test_files)
+    print(f"train: {len(train_records)} shapes, test: {len(test_records)}")
+
+    def train_batches(epoch):
+        rng = np.random.default_rng((args.seed, epoch))
+        for batch in modelnet_batches(
+            train_records, args.batch_size, rng=rng, shuffle=True
+        ):
+            pts, label = modelnet_train_augment(
+                batch["points"], batch["label"], rng
+            )
+            yield {"points": pts, "label": label}
+
+    def eval_batches():
+        return modelnet_batches(test_records, args.batch_size, shuffle=False)
+
+    fit(
+        factory,
+        train_batches,
+        eval_batches,
+        batch_size=args.batch_size,
+        num_epochs=args.max_epoch,
+        log_dir=args.log_dir,
+        seed=args.seed,
+    )
+
+
+if __name__ == "__main__":
+    main()

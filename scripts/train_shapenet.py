@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""ShapeNet part-segmentation training (counterpart of
+`shapenet_seg/train_shapenet.py` and `train_shapenet_onehot.py`).
+
+``--category`` trains a per-category net on that category's shapes with the
+reference's class-rebalancing (file list repeated ``640/class_size + 1``
+times, ref train_shapenet.py:33-35,83-90, DECAY_STEP = class_size*36);
+``--onehot`` trains the 16-category/50-part variant with the category
+one-hot input and fixed decay 320000 (ref train_shapenet_onehot.py).
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+SHAPENET_CATEGORIES = [
+    "airplane", "bag", "cap", "car", "chair", "earphone", "guitar", "knife",
+    "lamp", "laptop", "motorbike", "mug", "pistol", "rocket", "skateboard",
+    "table",
+]
+# per-category part counts (50 global parts over 16 categories)
+NUM_PARTS = [4, 2, 2, 4, 4, 3, 3, 2, 4, 2, 6, 2, 3, 3, 3, 3]
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--data_dir", required=True)
+    parser.add_argument("--category", default=None,
+                        help="per-category net (omit with --onehot)")
+    parser.add_argument("--onehot", action="store_true")
+    parser.add_argument("--log_dir", default=None)
+    parser.add_argument("--max_epoch", type=int, default=201)
+    parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--learning_rate", type=float, default=0.001)
+    parser.add_argument("--optimizer", default="adam")
+    parser.add_argument("--momentum", type=float, default=0.9)
+    parser.add_argument("--decay_rate", type=float, default=0.7)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--platform", default=None,
+                        help="force a jax backend (e.g. cpu); the environment's "
+                             "sitecustomize may pre-register a TPU platform, so "
+                             "env vars alone cannot override it")
+    args = parser.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    if not args.onehot and args.category is None:
+        parser.error("--category is required unless --onehot")
+
+    from sph3d_gcn_tpu.configs import shapenet_config
+    from sph3d_gcn_tpu.data.datasets import resample_indices
+    from sph3d_gcn_tpu.data.prep.shapenet import load_shapenet_records
+    from sph3d_gcn_tpu.models import SPH3DShapeNet, SPH3DShapeNetOnehot
+    from sph3d_gcn_tpu.train import (
+        exponential_decay_lr,
+        make_optimizer,
+        segmentation_step_factory,
+    )
+    from sph3d_gcn_tpu.train.augment_policies import shapenet_train_augment
+    from sph3d_gcn_tpu.train.checkpoint import snapshot_config
+    from sph3d_gcn_tpu.train.loop import fit
+
+    cfg = shapenet_config()
+    if args.onehot:
+        model = SPH3DShapeNetOnehot(cfg, num_cls=50)
+        train_files = [
+            line.rstrip()
+            for line in open(os.path.join(args.data_dir, "train_files.txt"))
+        ]
+        decay_step = 320000
+        label_key = "seg_label"
+        log_dir = args.log_dir or "log_shapenet_onehot"
+    else:
+        cat_id = SHAPENET_CATEGORIES.index(args.category)
+        model = SPH3DShapeNet(cfg, num_cls=NUM_PARTS[cat_id])
+        train_files = [
+            line.rstrip()
+            for line in open(
+                os.path.join(args.data_dir, f"{args.category}_train_files.txt")
+            )
+        ]
+        label_key = "part_label"
+        log_dir = args.log_dir or f"log_shapenet_{args.category}"
+
+    records = load_shapenet_records(train_files)
+    if not args.onehot:
+        records = [r for r in records if r["cls_label"] == cat_id]
+        # class rebalancing (ref train_shapenet.py:33-35,83-90)
+        factor = np.int32(640 / max(1, len(records))) + 1
+        decay_step = factor * len(records) * 36
+        records = records * int(factor)
+    print(f"{len(records)} training shapes, decay_step={decay_step}")
+    snapshot_config(log_dir, cfg)
+
+    schedule = exponential_decay_lr(
+        args.learning_rate, args.batch_size, decay_step, args.decay_rate
+    )
+    tx = make_optimizer(args.optimizer, schedule, momentum=args.momentum)
+    factory = segmentation_step_factory(
+        model, tx, weight_decay=cfg.weight_decay,
+        model_kwargs_keys=("cls_label",) if args.onehot else (),
+    )
+
+    def train_batches(epoch):
+        rng = np.random.default_rng((args.seed, epoch))
+        order = rng.permutation(len(records))
+        for start in range(0, len(order), args.batch_size):
+            sel = order[start : start + args.batch_size]
+            pts = np.zeros((len(sel), cfg.num_input, 3), np.float32)
+            lbl = np.zeros((len(sel), cfg.num_input), np.int32)
+            cls = np.zeros((len(sel),), np.int32)
+            for j, i in enumerate(sel):
+                rec = records[i]
+                ridx = resample_indices(
+                    len(rec[label_key]), cfg.num_input, rng
+                )
+                pts[j] = rec["xyz"][ridx]
+                lbl[j] = rec[label_key][ridx]  # stored 0-based in the records
+                cls[j] = rec["cls_label"]
+            pts, lbl = shapenet_train_augment(pts, lbl, rng)
+            batch = {"points": pts, "label": lbl}
+            if args.onehot:
+                batch["cls_label"] = cls
+            yield batch
+
+    fit(
+        factory,
+        train_batches,
+        None,
+        batch_size=args.batch_size,
+        num_epochs=args.max_epoch,
+        log_dir=log_dir,
+        seed=args.seed,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -58,11 +58,16 @@ def shapenet_config(num_input: int = 2048) -> SPH3DConfig:
 
 
 def _scene_seg_config(num_cls: int, num_input: int = 8192) -> SPH3DConfig:
+    # Reference pyramid at 8192 points; scaled proportionally for smaller
+    # inputs (test/debug sizes only — 8192 is the reference setting).
+    base = (2048, 768, 384, 128)
+    if num_input != 8192:
+        base = tuple(max(2, s * num_input // 8192) for s in base)
     return SPH3DConfig(
         num_input=num_input,
         num_cls=num_cls,
         mlp=64,
-        num_sample=(2048, 768, 384, 128),
+        num_sample=base,
         radius=(0.1, 0.2, 0.4, 0.8),
         nn_uplimit=(64, 64, 64, 64),
         channels=((128, 128), (256, 256), (256, 256), (512, 512)),

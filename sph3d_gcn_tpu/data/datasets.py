@@ -94,9 +94,13 @@ def load_scene_blocks(
             index = (
                 _decode_raw(ex, "index_label", np.int32) if with_index else None
             )
+            cols = [xyz]
+            if "normal_raw" in ex:  # RueMonge stores xyz+normal+rgb
+                cols.append(_decode_raw(ex, "normal_raw", np.float32, 3))
+            cols.append(rgb)
             out.append(
                 SceneBlock(
-                    points=np.concatenate([xyz, rgb], axis=1),
+                    points=np.concatenate(cols, axis=1),
                     label=label,
                     inner=inner,
                     index=index,

@@ -66,11 +66,12 @@ def make_shapenet_records(
         for xyz, part_label, cls_id in shapes:
             xyz = xyz[:, [0, 2, 1]]  # xzy -> xyz (ref make_tfrecord_shapenet.py:62)
             seg_label = part_label + part_offset[cls_id]
+            # stored 0-based (ref make_tfrecord_shapenet.py:63-64)
             w.write_example(
                 {
                     "xyz_raw": xyz.astype(np.float32).tobytes(),
-                    "part_label": part_label.astype(np.int32).tobytes(),
-                    "seg_label": seg_label.astype(np.int32).tobytes(),
+                    "part_label": (part_label - 1).astype(np.int32).tobytes(),
+                    "seg_label": (seg_label - 1).astype(np.int32).tobytes(),
                     "cls_label": np.int64(cls_id),
                 }
             )

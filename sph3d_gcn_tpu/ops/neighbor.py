@@ -250,7 +250,10 @@ def _sphere_query(database, query, radius, nn_sample, dilation_rate, kernel):
         radius = float(dilation_rate) * float(radius)
     batch, num_db, _ = db.shape
     num_q = q.shape[1]
-    k = int(nn_sample)
+    k_full = int(nn_sample)
+    # The CUDA scan tolerates nn_sample > N (it just finds fewer); top_k
+    # cannot, so search with a clamped budget and pad the outputs back.
+    k = min(k_full, num_db)
 
     tile = _query_tile_size(batch, num_db, num_q)
     num_tiles = -(-num_q // tile)
@@ -325,11 +328,16 @@ def _sphere_query(database, query, radius, nn_sample, dilation_rate, kernel):
     idx = idx_t.transpose(1, 0, 2, 3).reshape(batch, num_tiles * tile, k)
     cnt = cnt_t.transpose(1, 0, 2).reshape(batch, num_tiles * tile)
     dist = dist_t.transpose(1, 0, 2, 3).reshape(batch, num_tiles * tile, k)
-    nbh = Neighborhood(idx[:, :num_q], cnt[:, :num_q], dist[:, :num_q])
+    k_pad = ((0, 0), (0, 0), (0, k_full - k))
+    nbh = Neighborhood(
+        jnp.pad(idx[:, :num_q], k_pad),
+        cnt[:, :num_q],
+        jnp.pad(dist[:, :num_q], k_pad),
+    )
     if kernel is None:
         return nbh, None
     filt = filt_t.transpose(1, 0, 2, 3).reshape(batch, num_tiles * tile, k)
-    return nbh, filt[:, :num_q]
+    return nbh, jnp.pad(filt[:, :num_q], k_pad)
 
 
 @functools.partial(

@@ -46,6 +46,20 @@ class Checkpointer:
             epoch, args=ocp.args.StandardRestore(state_template)
         )
 
+    def restore_variables(self, state_template: Any, epoch: int | None = None):
+        """Restore only params/batch_stats into ``state_template`` — for
+        evaluation, where the optimizer need not match the one used in
+        training (the reference likewise restores variables only,
+        ref evaluate_modelnet.py:135)."""
+        if epoch is None:
+            epoch = self._mngr.latest_step()
+        if epoch is None:
+            raise FileNotFoundError(f"no checkpoint in {self._dir}")
+        raw = self._mngr.restore(epoch)  # stored tree as plain dicts
+        return state_template.replace(
+            params=raw["params"], batch_stats=raw["batch_stats"]
+        )
+
     def close(self) -> None:
         self._mngr.close()
 

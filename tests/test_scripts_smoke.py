@@ -1,0 +1,127 @@
+"""End-to-end driver-script smoke tests on tiny synthetic datasets.
+
+Each test writes reference-format tfrecords, runs the actual CLI script in
+a subprocess (CPU), and checks the artifacts it leaves behind — the same
+flow a user of the reference would run.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from sph3d_gcn_tpu.data.tfrecord import TFRecordWriter
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = dict(
+    os.environ,
+    JAX_PLATFORMS="cpu",
+    PYTHONPATH=os.environ.get("PYTHONPATH", "") + os.pathsep + REPO,
+)
+
+
+def _run(script, *args):
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", script),
+         "--platform", "cpu", *args],
+        capture_output=True,
+        text=True,
+        env=ENV,
+        timeout=900,
+    )
+    assert proc.returncode == 0, f"STDOUT:\n{proc.stdout}\nSTDERR:\n{proc.stderr}"
+    return proc.stdout
+
+
+def _write_modelnet(tmp_path, n_shapes=8, n_points=512):
+    rng = np.random.default_rng(0)
+    for phase in ("train", "test"):
+        path = tmp_path / f"data_{phase}0.tfrecord"
+        with TFRecordWriter(path) as w:
+            for i in range(n_shapes):
+                xyz = rng.standard_normal((n_points, 3)).astype(np.float32)
+                w.write_example(
+                    {"xyz_raw": xyz.tobytes(), "label": np.int64(i % 40)}
+                )
+        with open(tmp_path / f"{phase}_files.txt", "w") as f:
+            f.write(str(path) + "\n")
+
+
+@pytest.mark.slow
+def test_train_and_evaluate_modelnet(tmp_path):
+    _write_modelnet(tmp_path)
+    log_dir = str(tmp_path / "log")
+    _run(
+        "train_modelnet.py",
+        "--data_dir", str(tmp_path),
+        "--log_dir", log_dir,
+        "--max_epoch", "1",
+        "--batch_size", "4",
+        "--num_input", "512",
+    )
+    assert os.path.exists(os.path.join(log_dir, "config.json"))
+    assert os.path.exists(os.path.join(log_dir, "log_train.txt"))
+    out = _run(
+        "evaluate_modelnet.py",
+        "--data_dir", str(tmp_path),
+        "--log_dir", log_dir,
+        "--batch_size", "4",
+        "--num_votes", "2",
+    )
+    assert "eval accuracy" in out
+    assert os.path.exists(os.path.join(log_dir, "pred_votes.npz"))
+
+
+def _write_scene(tmp_path, n_blocks=4, scene="Area_5_office_1"):
+    rng = np.random.default_rng(1)
+    path = tmp_path / f"{scene}.tfrecord"
+    scene_n = 600
+    scene_xyz = rng.uniform(-1, 1, (scene_n, 3)).astype(np.float32)
+    scene_label = rng.integers(0, 13, scene_n).astype(np.int32)
+    with TFRecordWriter(path) as w:
+        for _ in range(n_blocks):
+            sel = rng.choice(scene_n, 200, replace=False)
+            w.write_example({
+                "xyz_raw": scene_xyz[sel].tobytes(),
+                "rgb_raw": rng.random((200, 3)).astype(np.float32).tobytes(),
+                "seg_label": scene_label[sel].tobytes(),
+                "inner_label": rng.integers(0, 2, 200).astype(np.int32).tobytes(),
+                "index_label": sel.astype(np.int32).tobytes(),
+                "scene_label": np.int64(0),
+                "scene_idx": np.int64(1),
+            })
+    for fold in range(1, 7):
+        with open(tmp_path / f"train_files_fold{fold}.txt", "w") as f:
+            f.write(str(path) + "\n")
+        with open(tmp_path / f"test_files_fold{fold}.txt", "w") as f:
+            f.write(str(path) + "\n")
+    np.savez(tmp_path / f"{scene}.npz", xyz=scene_xyz, label=scene_label)
+
+
+@pytest.mark.slow
+def test_train_and_evaluate_s3dis(tmp_path):
+    _write_scene(tmp_path)
+    log_dir = str(tmp_path / "log")
+    _run(
+        "train_scene_seg.py",
+        "--dataset", "s3dis",
+        "--data_dir", str(tmp_path),
+        "--log_dir", log_dir,
+        "--max_epoch", "1",
+        "--batch_size", "2",
+        "--num_input", "128",
+    )
+    assert os.path.exists(os.path.join(log_dir, "config.json"))
+    out = _run(
+        "evaluate_scene_seg.py",
+        "--dataset", "s3dis",
+        "--data_dir", str(tmp_path),
+        "--scene_dir", str(tmp_path),
+        "--log_dir", log_dir,
+        "--batch_size", "2",
+    )
+    assert "block-level OA" in out
+    assert "merged scene metrics" in out
+    assert "mIoU" in out
