@@ -68,16 +68,14 @@ class SPH3DModelNet(fnn.Module):
             key = None
             if sample_key is not None:
                 key = jax.random.fold_in(sample_key, level)
-            nbh, sample_idx = build_graph(
+            nbh, filt_idx, sample_idx = build_graph(
                 xyz,
                 cfg.radius[level],
                 cfg.nn_uplimit[level],
                 cfg.num_sample[level],
                 sample_method=cfg.sample,
                 key=key,
-            )
-            filt_idx = spherical_kernel(
-                xyz, xyz, nbh, cfg.radius[level], cfg.kernel
+                kernel=cfg.kernel,
             )
             net = SeparableConvBlock(
                 list_channels=cfg.channels[level],

@@ -31,7 +31,6 @@ from sph3d_gcn_tpu.nn.graph import (
     gather_points,
 )
 from sph3d_gcn_tpu.nn.layers import PointwiseConv3d, pool3d, unpool3d
-from sph3d_gcn_tpu.ops.kernelbin import spherical_kernel
 
 NUM_SHAPENET_CATEGORIES = 16  # ref models/SPH3D_shapenet_onehot.py:10
 
@@ -72,15 +71,15 @@ class SegEncoderDecoder(fnn.Module):
             key = None
             if sample_key is not None:
                 key = jax.random.fold_in(sample_key, level)
-            nbh, sample_idx = build_graph(
+            nbh, filt_idx, sample_idx = build_graph(
                 xyz,
                 cfg.radius[level],
                 cfg.nn_uplimit[level],
                 cfg.num_sample[level],
                 sample_method=cfg.sample,
                 key=key,
+                kernel=cfg.kernel,
             )
-            filt_idx = spherical_kernel(xyz, xyz, nbh, cfg.radius[level], cfg.kernel)
             net = SeparableConvBlock(
                 list_channels=cfg.channels[level],
                 bin_size=cfg.bin_size,
@@ -109,11 +108,9 @@ class SegEncoderDecoder(fnn.Module):
         for level in range(num_levels):
             xyz_coarse = xyz_layers[level]
             xyz_fine = xyz_layers[level + 1]
-            intra, inter = build_graph_deconv(
-                xyz_coarse, xyz_fine, radius_r[level], nn_uplimit_r[level]
-            )
-            filt_idx = spherical_kernel(
-                xyz_coarse, xyz_coarse, intra, radius_r[level], cfg.kernel
+            intra, filt_idx, inter = build_graph_deconv(
+                xyz_coarse, xyz_fine, radius_r[level], nn_uplimit_r[level],
+                kernel=cfg.kernel,
             )
             net = SeparableConvBlock(
                 list_channels=channels_r[level],

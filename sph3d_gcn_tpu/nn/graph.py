@@ -11,7 +11,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from sph3d_gcn_tpu.ops.neighbor import build_sphere_neighbor
+from sph3d_gcn_tpu.ops.neighbor import (
+    build_sphere_neighbor,
+    build_sphere_neighbor_and_bins,
+)
 from sph3d_gcn_tpu.ops.sample import (
     farthest_point_sample,
     inverse_density_sample,
@@ -31,10 +34,15 @@ def build_graph(
     num_sample: int | None,
     sample_method: str | None = None,
     key: jax.Array | None = None,
-) -> tuple[Neighborhood, jax.Array | None]:
+    kernel: tuple[int, int, int] | None = None,
+) -> tuple[Neighborhood, jax.Array | None] | tuple[
+    Neighborhood, jax.Array, jax.Array | None
+]:
     """Intra-level sphere graph plus optional subsampling indices.
 
-    Mirrors ref utils/sph3gcn_util.py:28-49.
+    Mirrors ref utils/sph3gcn_util.py:28-49. With ``kernel`` given, the
+    spherical filter bins are computed inside the query (fused fast path)
+    and the return becomes (Neighborhood, filt_index, sample_index).
 
     Args:
       xyz: (B, N, 3) float32 point coordinates.
@@ -43,14 +51,22 @@ def build_graph(
       num_sample: coarse point count S, or None to skip subsampling.
       sample_method: 'FPS' | 'IDS' | 'random' (ref :33-41).
       key: PRNG key, required for 'IDS'/'random'.
+      kernel: optional (n, p, q) spherical kernel to fuse bin assignment.
 
     Returns:
-      (Neighborhood over xyz->xyz, sample_index (B, S) int32 or None).
+      (Neighborhood, sample_index or None) — or with ``kernel``,
+      (Neighborhood, filt_index, sample_index or None).
     """
-    intra = neighbor_fn(xyz, xyz, radius=radius, nn_sample=nn_uplimit)
+    if kernel is not None:
+        intra, filt = build_sphere_neighbor_and_bins(
+            xyz, xyz, radius, nn_uplimit, kernel
+        )
+    else:
+        intra = neighbor_fn(xyz, xyz, radius=radius, nn_sample=nn_uplimit)
+        filt = None
 
     if num_sample is None:
-        return intra, None
+        return (intra, filt, None) if kernel is not None else (intra, None)
 
     if sample_method == "random":
         if key is None:
@@ -68,6 +84,8 @@ def build_graph(
     else:
         raise ValueError(f"Unknown sampling method: {sample_method!r}")
 
+    if kernel is not None:
+        return intra, filt, sample_index
     return intra, sample_index
 
 
@@ -76,15 +94,25 @@ def build_graph_deconv(
     xyz_unpool: jax.Array,
     radius: float,
     nn_uplimit: int,
-) -> tuple[Neighborhood, Neighborhood]:
+    kernel: tuple[int, int, int] | None = None,
+) -> tuple[Neighborhood, Neighborhood] | tuple[
+    Neighborhood, jax.Array, Neighborhood
+]:
     """Intra edges at the coarse level + inter edges coarse->fine for
     unpooling (ref utils/sph3gcn_util.py:52-58).
 
     ``inter`` queries are the *fine* points searching the *coarse* database,
-    so ``inter.idx`` indexes coarse points per fine point.
+    so ``inter.idx`` indexes coarse points per fine point. With ``kernel``
+    given the intra bins are fused into the query and the return becomes
+    (intra, filt_index, inter).
     """
-    intra = neighbor_fn(xyz, xyz, radius=radius, nn_sample=nn_uplimit)
     inter = neighbor_fn(xyz, xyz_unpool, radius=radius, nn_sample=nn_uplimit)
+    if kernel is not None:
+        intra, filt = build_sphere_neighbor_and_bins(
+            xyz, xyz, radius, nn_uplimit, kernel
+        )
+        return intra, filt, inter
+    intra = neighbor_fn(xyz, xyz, radius=radius, nn_sample=nn_uplimit)
     return intra, inter
 
 
