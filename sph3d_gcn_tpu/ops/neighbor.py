@@ -27,6 +27,7 @@ Reproduced quirks (required for checkpoint/metric parity, see SURVEY.md §7):
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -74,6 +75,14 @@ def _pairwise_dist(q_tile: jax.Array, db: jax.Array, db_sq: jax.Array) -> jax.Ar
 _SEL_BLOCK = 128  # lane-block size for the two-level selection
 
 
+def _popcount32(x: jax.Array) -> jax.Array:
+    """SWAR popcount of a uint32 array."""
+    x = x - ((x >> 1) & jnp.uint32(0x55555555))
+    x = (x & jnp.uint32(0x33333333)) + ((x >> 2) & jnp.uint32(0x33333333))
+    x = (x + (x >> 4)) & jnp.uint32(0x0F0F0F0F)
+    return ((x * jnp.uint32(0x01010101)) >> 24).astype(jnp.int32)
+
+
 def _first_k_in_order(mask: jax.Array, num_db: int, k: int):
     """Select the first `k` True positions of `mask` along the last axis.
 
@@ -81,118 +90,95 @@ def _first_k_in_order(mask: jax.Array, num_db: int, k: int):
     selected indices in ascending point order — the order the CUDA scan
     stores them (ref tf_nnquery_gpu.cu:49-55).
 
-    Two-level selection (``lax.top_k`` would be semantically equivalent but
-    XLA lowers it to a full per-row sort — ~28ms per (3200 x 10k) tile on
-    v5e): (1) count set bits per 128-lane block, prefix-sum the tiny block
-    axis, and binary-search it (unrolled, log2(#blocks) cheap steps) to
-    locate each target's block; (2) gather the chosen blocks' within-block
-    prefix sums (contiguous 128-lane rows) and resolve the exact lane with
-    one comparison-reduction.
+    Entirely gather- and sort-free (both are catastrophically slow inside
+    XLA TPU loop bodies: ``lax.top_k`` lowers to a full per-row sort and a
+    ``take_along_axis`` probe inside a ``lax.map`` runs ~600ns/element):
+
+      1. pack the mask into 32-bit words and prefix-sum set-bit counts over
+         the tiny 128-lane-block axis;
+      2. each target's block id = #(blocks whose cumulative count < target)
+         — a fused compare-reduction;
+      3. the block's words are picked with a one-hot compare-reduction and
+         the exact lane is resolved by a 5-step SWAR bit-rank — all
+         elementwise VPU arithmetic.
     """
     lead = mask.shape[:-1]
     num_pad = -(-num_db // _SEL_BLOCK) * _SEL_BLOCK
     num_blocks = num_pad // _SEL_BLOCK
-    mask_i = mask.astype(jnp.int32)
+    mask_i = mask.astype(jnp.uint32)
     if num_pad != num_db:
         mask_i = jnp.pad(mask_i, [(0, 0)] * len(lead) + [(0, num_pad - num_db)])
-    blocks = mask_i.reshape(lead + (num_blocks, _SEL_BLOCK))
-    within = jnp.cumsum(blocks, axis=-1)          # (.., nb, 128)
-    blk_cnt = within[..., -1]                     # (.., nb)
-    blk_end = jnp.cumsum(blk_cnt, axis=-1)        # set bits up to block end
+    bits = mask_i.reshape(lead + (num_blocks, 4, 32))
+    pow2 = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    words = jnp.sum(bits * pow2, axis=-1).astype(jnp.uint32)  # (.., nb, 4)
+    blk_cnt = jnp.sum(
+        mask_i.reshape(lead + (num_blocks, _SEL_BLOCK)).astype(jnp.int32),
+        axis=-1,
+    )
+    blk_end = jnp.cumsum(blk_cnt, axis=-1)  # (.., nb)
     total = blk_end[..., -1]
 
     targets = jnp.arange(1, k + 1, dtype=jnp.int32)  # (k,)
-    # Level 1: first block with blk_end >= target (unrolled binary search
-    # over the tiny block axis).
-    lo = jnp.zeros(lead + (k,), jnp.int32)
-    hi = jnp.full(lead + (k,), num_blocks - 1, jnp.int32)
-    for _ in range(max(1, (num_blocks - 1).bit_length())):
-        mid = (lo + hi) >> 1
-        reached = jnp.take_along_axis(blk_end, mid, axis=-1) >= targets
-        lo = jnp.where(reached, lo, mid + 1)
-        hi = jnp.where(reached, mid, hi)
-    blk_id = jnp.clip(lo, 0, num_blocks - 1)
+    # Block id: number of blocks whose cumulative count is below the target
+    # (fused reduce over the block axis; no gathers).
+    blk_id = jnp.sum(
+        (blk_end[..., :, None] < targets).astype(jnp.int32), axis=-2
+    )  # (.., k)
+    blk_id = jnp.minimum(blk_id, num_blocks - 1)
+    blk_iota = jnp.arange(num_blocks, dtype=jnp.int32)
+    onehot = blk_iota[..., :, None] == blk_id[..., None, :]  # (.., nb, k)
+    prev_end = jnp.sum(
+        jnp.where(
+            blk_iota[..., :, None] == (blk_id[..., None, :] - 1),
+            blk_end[..., :, None],
+            0,
+        ),
+        axis=-2,
+    )
+    sel_words = jnp.sum(
+        jnp.where(onehot[..., None], words[..., :, None, :], jnp.uint32(0)),
+        axis=-3,
+    )  # (.., k, 4)
 
-    # Level 2: rank within the block, resolved against the block's
-    # within-block prefix sums (one contiguous-row gather + a reduction).
-    prev_end = jnp.take_along_axis(
-        jnp.pad(blk_end[..., :-1], [(0, 0)] * len(lead) + [(1, 0)]),
-        blk_id,
-        axis=-1,
+    # Rank within the selected 128-bit block, then SWAR bit-rank.
+    rank = targets - prev_end  # 1-based
+    pc = _popcount32(sel_words)  # (.., k, 4)
+    c1 = pc[..., 0]
+    c2 = c1 + pc[..., 1]
+    c3 = c2 + pc[..., 2]
+    word_id = (
+        (rank > c1).astype(jnp.int32)
+        + (rank > c2).astype(jnp.int32)
+        + (rank > c3).astype(jnp.int32)
     )
-    rank_in_blk = targets - prev_end               # 1-based within block
-    sel_within = jnp.take_along_axis(
-        within, blk_id[..., None], axis=-2
-    )                                              # (.., k, 128)
-    lane = jnp.sum(
-        (sel_within < rank_in_blk[..., None]).astype(jnp.int32), axis=-1
+    base = jnp.where(
+        word_id == 0, 0, jnp.where(word_id == 1, c1, jnp.where(word_id == 2, c2, c3))
     )
+    word = jnp.where(
+        word_id == 0,
+        sel_words[..., 0],
+        jnp.where(
+            word_id == 1,
+            sel_words[..., 1],
+            jnp.where(word_id == 2, sel_words[..., 2], sel_words[..., 3]),
+        ),
+    )
+    r_w = rank - base
+    pos = jnp.zeros_like(r_w)
+    cur = word
+    for half in (16, 8, 4, 2, 1):
+        low_mask = jnp.uint32((1 << half) - 1)
+        pc_low = _popcount32(cur & low_mask)
+        go_high = r_w > pc_low
+        r_w = jnp.where(go_high, r_w - pc_low, r_w)
+        pos = pos + jnp.where(go_high, half, 0)
+        cur = jnp.where(go_high, cur >> half, cur & low_mask)
+
+    lane = word_id * 32 + pos
     idx = blk_id * _SEL_BLOCK + lane
     valid = targets <= total[..., None]
     idx = jnp.where(valid, jnp.minimum(idx, num_db - 1), 0)
     return idx.astype(jnp.int32), valid, total
-
-
-def _octant_code(dx: jax.Array, dy: jax.Array, n_bins: int) -> jax.Array:
-    """Azimuth bin of ``theta = atan2(dy, dx)`` folded to [0, 2*pi), via sign
-    tests only — no atan2, no gather. Matches the reference binning
-    (ref tf_buildkernel_gpu.cu:57-66) everywhere except within float
-    rounding of the exact sector boundaries (measure-zero on real data).
-
-    Supports n_bins in {4, 8} (every reference config uses 8).
-    """
-    pos_x = dx > 0
-    neg_x = dx < 0
-    zero_x = dx == 0
-    pos_y = dy > 0
-    neg_y = dy < 0
-    zero_y = dy == 0
-    adx = jnp.abs(dx)
-    ady = jnp.abs(dy)
-
-    if n_bins == 4:
-        # Quadrants of theta' = theta + pi, boundaries at multiples of pi/2.
-        code = jnp.select(
-            [
-                (neg_x & neg_y) | (zero_y & neg_x),   # theta in [-pi, -pi/2)
-                neg_y,                                 # [-pi/2, 0)  (dx >= 0)
-                (pos_x & pos_y) | (zero_y & ~neg_x),   # [0, pi/2)
-                jnp.full(dx.shape, True),              # [pi/2, pi)
-            ],
-            [0, 1, 2, 3],
-        )
-        return code.astype(jnp.int32)
-
-    if n_bins != 8:
-        raise ValueError(f"octant fast path supports n in (4, 8), got {n_bins}")
-
-    # Octants of theta' = theta + pi; octant k <=> theta' in [k*pi/4, (k+1)*pi/4).
-    lower = jnp.select(  # dy < 0 half: theta in [-pi, 0)
-        [
-            neg_x & (ady < adx),  # [-pi, -3pi/4)
-            neg_x,                # [-3pi/4, -pi/2)  (ady >= adx)
-            ady > adx,            # [-pi/2, -pi/4)   (dx >= 0)
-            jnp.full(dx.shape, True),  # [-pi/4, 0)
-        ],
-        [0, 1, 2, 3],
-    )
-    upper = jnp.select(  # dy >= 0 half: theta in [0, pi]
-        [
-            pos_x & (ady < adx),  # [0, pi/4)
-            pos_x,                # [pi/4, pi/2)   (ady >= adx)
-            neg_x & (ady > adx),  # (pi/2, 3pi/4)
-            neg_x,                # [3pi/4, pi)    (ady <= adx)
-            jnp.full(dx.shape, True),  # dx == 0: theta = pi/2 exactly -> 6
-        ],
-        [4, 5, 6, 7, 6],
-    )
-    code = jnp.where(neg_y, lower, upper)
-    # Exact-axis cases with dy == 0:
-    # atan2(0, dx>0) = 0 -> bin 4; atan2(0, dx<0) = pi -> clamped -pi -> 0;
-    # atan2(0, 0) = 0 -> bin 4.
-    code = jnp.where(zero_y & neg_x, 0, code)
-    code = jnp.where(zero_y & ~neg_x, 4, code)
-    return code.astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "nn_sample", "dilation_rate"))
@@ -241,29 +227,16 @@ def build_sphere_neighbor_and_bins(
     """Sphere query + spherical kernel bins, fused into one pass.
 
     Produces exactly ``build_sphere_neighbor`` + ``spherical_kernel`` but
-    computes the azimuth/elevation bin of every candidate pair with sign
-    tests *inside* the distance tile and packs it into the low bits of the
-    integer top_k score — so the selected edges' bins come back with the
-    indices, eliminating the per-edge xyz gather that dominates the
-    standalone kernel-bin op on TPU.
-
-    Supported fast path: kernel = (4|8, 2, q). Other kernels fall back to
-    the two-op path.
+    shares the single top-level neighbor-coordinate gather between the
+    distance reconstruction and the bin math, eliminating the second
+    per-edge xyz gather the standalone kernel-bin op would pay.
 
     Returns:
       (Neighborhood, filt_index (B, M, K) int32 with bin 0 = self-loop).
     """
-    n_bins, p_bins, _ = kernel
-    if n_bins not in (4, 8) or p_bins != 2:
-        from sph3d_gcn_tpu.ops.kernelbin import spherical_kernel
+    from sph3d_gcn_tpu.ops.kernelbin import validate_kernel_size
 
-        nbh = build_sphere_neighbor(
-            database, query, radius, nn_sample, dilation_rate
-        )
-        if dilation_rate is not None:
-            radius = float(dilation_rate) * float(radius)
-        return nbh, spherical_kernel(database, query, nbh, radius, kernel)
-
+    validate_kernel_size(kernel)
     return _sphere_query(
         database, query, radius, nn_sample, dilation_rate, kernel=kernel
     )
@@ -315,55 +288,59 @@ def _sphere_query(database, query, radius, nn_sample, dilation_rate, kernel):
         r_final, _ = lax.while_loop(cond, body, (r0, jnp.int32(0)))
         mask, _ = count_at(r_final)
 
-        idx, valid, total_sel = _first_k_in_order(mask, num_db, k)
-        d_sel = jnp.take_along_axis(d, idx, axis=-1)
-        # Quirk: stored distance is sqrt of the (already Euclidean) distance
-        # (ref tf_nnquery_gpu.cu:54).
-        nn_dist = jnp.where(valid, jnp.sqrt(d_sel), 0.0)
+        # The tile loop emits ONLY indices and counts (pure VPU selection);
+        # distances/bins are reconstructed outside the loop where gathers
+        # run on the fast path.
+        idx, _, total_sel = _first_k_in_order(mask, num_db, k)
         count = jnp.minimum(total_sel, k).astype(jnp.int32)
+        return idx, count
 
-        pay = None
-        if kernel is not None:
-            # Per-pair azimuth octant + elevation sign, computed on the
-            # broadcasted deltas (fused into the mask pass) and selected per
-            # edge with a cheap minor-dim gather.
-            dx = db[:, None, :, 0] - q_tile[:, :, None, 0]
-            dy = db[:, None, :, 1] - q_tile[:, :, None, 1]
-            dz = db[:, None, :, 2] - q_tile[:, :, None, 2]
-            n_code = _octant_code(dx, dy, kernel[0])
-            p_code = (dz >= 0).astype(jnp.int32)
-            payload = (p_code << 3) | n_code
-            pay = jnp.take_along_axis(payload, idx, axis=-1)
-
-        filt = jnp.zeros_like(idx)
-        if kernel is not None:
-            n_bins, p_bins, q_bins = kernel
-            n_id = pay & 7
-            p_id = pay >> 3
-            gamma = nn_dist * q_bins / (radius + 1e-6)
-            q_id = jnp.minimum(q_bins - 1, gamma.astype(jnp.int32))
-            bins = q_id * p_bins * n_bins + p_id * n_bins + n_id + 1
-            # Self-loop rule (ref tf_buildkernel_gpu.cu:52-54).
-            is_far = (nn_dist > _M_EPS) & (jnp.abs(nn_dist - _M_EPS) > 1e-6)
-            filt = jnp.where(is_far & valid, bins, 0).astype(jnp.int32)
-
-        return idx, count, nn_dist, filt
-
-    idx_t, cnt_t, dist_t, filt_t = lax.map(process_tile, q_tiles)
+    idx_t, cnt_t = lax.map(process_tile, q_tiles)
     # (n_tiles, B, T, ...) -> (B, M, ...)
     idx = idx_t.transpose(1, 0, 2, 3).reshape(batch, num_tiles * tile, k)
     cnt = cnt_t.transpose(1, 0, 2).reshape(batch, num_tiles * tile)
-    dist = dist_t.transpose(1, 0, 2, 3).reshape(batch, num_tiles * tile, k)
+    idx = idx[:, :num_q]
+    cnt = cnt[:, :num_q]
+
+    # One top-level row gather of the neighbor coordinates reconstructs the
+    # displacement exactly as the CUDA kernels do (diff form,
+    # ref tf_nnquery_gpu.cu:40-46) — no matmul cancellation on the stored
+    # distances, and the spherical bins use the reference's exact atan2
+    # formulas (ref tf_buildkernel_gpu.cu:40-74).
+    db_sel = jnp.take_along_axis(
+        db, idx.reshape(batch, -1, 1), axis=1
+    ).reshape(batch, num_q, k, 3)
+    delta = db_sel - q[:, :, None, :]
+    d3 = jnp.sqrt(jnp.sum(delta * delta, axis=-1))
+    k_ids = lax.broadcasted_iota(jnp.int32, (1, 1, k), 2)
+    valid = k_ids < cnt[..., None]
+    # Quirk: stored distance is sqrt of the (already Euclidean) distance
+    # (ref tf_nnquery_gpu.cu:54).
+    nn_dist = jnp.where(valid, jnp.sqrt(d3), 0.0)
+
     k_pad = ((0, 0), (0, 0), (0, k_full - k))
     nbh = Neighborhood(
-        jnp.pad(idx[:, :num_q], k_pad),
-        cnt[:, :num_q],
-        jnp.pad(dist[:, :num_q], k_pad),
+        jnp.pad(idx, k_pad), cnt, jnp.pad(nn_dist, k_pad)
     )
     if kernel is None:
         return nbh, None
-    filt = filt_t.transpose(1, 0, 2, 3).reshape(batch, num_tiles * tile, k)
-    return nbh, jnp.pad(filt[:, :num_q], k_pad)
+
+    n_bins, p_bins, q_bins = kernel
+    pi = math.pi
+    dist2d = jnp.sqrt(delta[..., 0] ** 2 + delta[..., 1] ** 2)
+    theta = jnp.arctan2(delta[..., 1], delta[..., 0])
+    theta = jnp.where(theta < pi, theta, -pi)
+    theta = jnp.maximum(theta, -pi) + pi
+    phi = jnp.clip(jnp.arctan2(delta[..., 2], dist2d), -pi / 2, pi / 2) + pi / 2
+    n_id = jnp.minimum(n_bins - 1, (theta * n_bins / 2.0 / pi).astype(jnp.int32))
+    p_id = jnp.minimum(p_bins - 1, (phi * p_bins / pi).astype(jnp.int32))
+    gamma = nn_dist * q_bins / (radius + 1e-6)
+    q_id = jnp.minimum(q_bins - 1, gamma.astype(jnp.int32))
+    bins = q_id * p_bins * n_bins + p_id * n_bins + n_id + 1
+    # Self-loop rule (ref tf_buildkernel_gpu.cu:52-54).
+    is_far = (nn_dist > _M_EPS) & (jnp.abs(nn_dist - _M_EPS) > 1e-6)
+    filt = jnp.where(is_far & valid, bins, 0).astype(jnp.int32)
+    return nbh, jnp.pad(filt, k_pad)
 
 
 @functools.partial(
