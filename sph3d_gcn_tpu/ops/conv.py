@@ -75,16 +75,24 @@ def depthwise_conv3d(
     num_out, k = nn_index.shape[1], nn_index.shape[2]
     f_bins, _, mult = filt.shape
 
+    # Chunk over the output-point axis with a PYTHON loop, not lax.map:
+    # gathers inside XLA TPU loop bodies fall back to a ~600ns/element
+    # scalar path, while top-level gathers (and their scatter VJPs) run
+    # vectorized. A handful of unrolled chunks keeps the (B,T,K,F) one-hot
+    # transient bounded at negligible compile cost.
     t = _chunk_size(batch, k, max(c_in, f_bins), num_out)
     num_chunks = -(-num_out // t)
     pad = num_chunks * t - num_out
+    idx_p = jnp.pad(nn_index, ((0, 0), (0, pad), (0, 0)))
+    bin_p = jnp.pad(bin_index, ((0, 0), (0, pad), (0, 0)))
+    cnt_p = jnp.pad(nn_count, ((0, 0), (0, pad)))
 
-    idx_c = _chunked(nn_index, pad, num_chunks, t)
-    bin_c = _chunked(bin_index, pad, num_chunks, t)
-    cnt_c = _chunked(nn_count, pad, num_chunks, t)
-
-    def process(args):
-        idx, bins, cnt = args  # (B, T, K), (B, T, K), (B, T)
+    outs = []
+    for c0 in range(num_chunks):
+        sl = slice(c0 * t, (c0 + 1) * t)
+        idx = idx_p[:, sl]
+        bins = bin_p[:, sl]
+        cnt = cnt_p[:, sl]
         g = gather_features(inputs, idx)  # (B, T, K, C)
         k_ids = lax.broadcasted_iota(jnp.int32, idx.shape, 2)
         valid = k_ids < cnt[..., None]  # (B, T, K)
@@ -111,18 +119,9 @@ def depthwise_conv3d(
             preferred_element_type=jnp.float32,
             precision=lax.Precision.HIGHEST,
         )
-        return out.reshape(out.shape[0], out.shape[1], c_in * mult)
+        outs.append(out.reshape(batch, t, c_in * mult))
 
-    out_c = lax.map(process, (idx_c, bin_c, cnt_c))  # (chunks, B, T, C*r)
-    out = out_c.transpose(1, 0, 2, 3).reshape(batch, num_chunks * t, c_in * mult)
+    out = outs[0] if num_chunks == 1 else jnp.concatenate(outs, axis=1)
     return out[:, :num_out]
-
-
-def _chunked(x: jax.Array, pad: int, num_chunks: int, t: int) -> jax.Array:
-    """Pad axis 1 and reshape (B, M, ...) -> (chunks, B, T, ...)."""
-    pad_width = [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 2)
-    xp = jnp.pad(x, pad_width)
-    new_shape = (x.shape[0], num_chunks, t) + x.shape[2:]
-    return jnp.moveaxis(xp.reshape(new_shape), 1, 0)
 
 
