@@ -59,10 +59,11 @@ def build_graph(
     """
     if kernel is not None:
         intra, filt = build_sphere_neighbor_and_bins(
-            xyz, xyz, radius, nn_uplimit, kernel
+            xyz, xyz, radius, nn_uplimit, kernel, self_graph=True
         )
     else:
-        intra = neighbor_fn(xyz, xyz, radius=radius, nn_sample=nn_uplimit)
+        intra = neighbor_fn(xyz, xyz, radius=radius, nn_sample=nn_uplimit,
+                            self_graph=True)
         filt = None
 
     if num_sample is None:
@@ -109,10 +110,11 @@ def build_graph_deconv(
     inter = neighbor_fn(xyz, xyz_unpool, radius=radius, nn_sample=nn_uplimit)
     if kernel is not None:
         intra, filt = build_sphere_neighbor_and_bins(
-            xyz, xyz, radius, nn_uplimit, kernel
+            xyz, xyz, radius, nn_uplimit, kernel, self_graph=True
         )
         return intra, filt, inter
-    intra = neighbor_fn(xyz, xyz, radius=radius, nn_sample=nn_uplimit)
+    intra = neighbor_fn(xyz, xyz, radius=radius, nn_sample=nn_uplimit,
+                        self_graph=True)
     return intra, inter
 
 

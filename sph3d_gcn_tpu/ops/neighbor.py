@@ -111,11 +111,8 @@ def _first_k_in_order(mask: jax.Array, num_db: int, k: int):
     bits = mask_i.reshape(lead + (num_blocks, 4, 32))
     pow2 = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
     words = jnp.sum(bits * pow2, axis=-1).astype(jnp.uint32)  # (.., nb, 4)
-    blk_cnt = jnp.sum(
-        mask_i.reshape(lead + (num_blocks, _SEL_BLOCK)).astype(jnp.int32),
-        axis=-1,
-    )
-    blk_end = jnp.cumsum(blk_cnt, axis=-1)  # (.., nb)
+    blk_cnt = jnp.sum(_popcount32(words), axis=-1)  # (.., nb)
+    blk_end = jnp.cumsum(blk_cnt, axis=-1)
     total = blk_end[..., -1]
 
     targets = jnp.arange(1, k + 1, dtype=jnp.int32)  # (k,)
@@ -181,13 +178,16 @@ def _first_k_in_order(mask: jax.Array, num_db: int, k: int):
     return idx.astype(jnp.int32), valid, total
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "nn_sample", "dilation_rate"))
+@functools.partial(
+    jax.jit, static_argnames=("radius", "nn_sample", "dilation_rate", "self_graph")
+)
 def build_sphere_neighbor(
     database: jax.Array,
     query: jax.Array,
     radius: float = 0.1,
     nn_sample: int = 100,
     dilation_rate: float | None = None,
+    self_graph: bool = False,
 ) -> Neighborhood:
     """Sphere range search keeping the first `nn_sample` in-range points.
 
@@ -208,13 +208,15 @@ def build_sphere_neighbor(
       in sqrt-space).
     """
     nbh, _ = _sphere_query(
-        database, query, radius, nn_sample, dilation_rate, kernel=None
+        database, query, radius, nn_sample, dilation_rate, kernel=None,
+        self_graph=self_graph,
     )
     return nbh
 
 
 @functools.partial(
-    jax.jit, static_argnames=("radius", "nn_sample", "kernel", "dilation_rate")
+    jax.jit,
+    static_argnames=("radius", "nn_sample", "kernel", "dilation_rate", "self_graph"),
 )
 def build_sphere_neighbor_and_bins(
     database: jax.Array,
@@ -223,6 +225,7 @@ def build_sphere_neighbor_and_bins(
     nn_sample: int,
     kernel: tuple[int, int, int] = (8, 2, 2),
     dilation_rate: float | None = None,
+    self_graph: bool = False,
 ) -> tuple[Neighborhood, jax.Array]:
     """Sphere query + spherical kernel bins, fused into one pass.
 
@@ -238,14 +241,17 @@ def build_sphere_neighbor_and_bins(
 
     validate_kernel_size(kernel)
     return _sphere_query(
-        database, query, radius, nn_sample, dilation_rate, kernel=kernel
+        database, query, radius, nn_sample, dilation_rate, kernel=kernel,
+        self_graph=self_graph,
     )
 
 
 _M_EPS = 1.01e-3  # ref tf_buildkernel_gpu.cu:6
 
 
-def _sphere_query(database, query, radius, nn_sample, dilation_rate, kernel):
+def _sphere_query(
+    database, query, radius, nn_sample, dilation_rate, kernel, self_graph=False
+):
     db = database[..., :3].astype(jnp.float32)
     q = query[..., :3].astype(jnp.float32)
     if dilation_rate is not None:
@@ -264,10 +270,17 @@ def _sphere_query(database, query, radius, nn_sample, dilation_rate, kernel):
     # (n_tiles, B, T, 3): lax.map iterates the leading axis.
     q_tiles = q_padded.reshape(batch, num_tiles, tile, 3).transpose(1, 0, 2, 3)
 
-    db_sq = jnp.sum(db * db, axis=-1)  # (B, N)
+    # Pad the database axis to the selection block size ONCE, with far-away
+    # sentinel points that can never enter any mask (the growth loop is
+    # bounded at radius + ~25; sentinels sit at ~1e6).
+    num_db_pad = -(-num_db // _SEL_BLOCK) * _SEL_BLOCK
+    db_padded = jnp.pad(
+        db, ((0, 0), (0, num_db_pad - num_db), (0, 0)), constant_values=1e6
+    )
+    db_sq = jnp.sum(db_padded * db_padded, axis=-1)  # (B, N_pad)
 
     def process_tile(q_tile):
-        d = _pairwise_dist(q_tile, db, db_sq)  # (B, T, N)
+        d = _pairwise_dist(q_tile, db_padded, db_sq)  # (B, T, N_pad)
 
         def count_at(r):
             m = (d < r[..., None]) & (jnp.abs(d - r[..., None]) > _BOUNDARY_EPS)
@@ -285,13 +298,20 @@ def _sphere_query(database, query, radius, nn_sample, dilation_rate, kernel):
             return r, it + 1
 
         r0 = jnp.full(d.shape[:2], radius, dtype=jnp.float32)
-        r_final, _ = lax.while_loop(cond, body, (r0, jnp.int32(0)))
+        if self_graph:
+            # Every query is its own neighbor at distance 0 < radius, so the
+            # zero-neighbor growth rescan can never trigger — skip the
+            # while loop (and its repeated full-mask count passes) entirely.
+            r_final = r0
+        else:
+            r_final, _ = lax.while_loop(cond, body, (r0, jnp.int32(0)))
         mask, _ = count_at(r_final)
 
         # The tile loop emits ONLY indices and counts (pure VPU selection);
         # distances/bins are reconstructed outside the loop where gathers
         # run on the fast path.
-        idx, _, total_sel = _first_k_in_order(mask, num_db, k)
+        idx, _, total_sel = _first_k_in_order(mask, num_db_pad, k)
+        idx = jnp.minimum(idx, num_db - 1)
         count = jnp.minimum(total_sel, k).astype(jnp.int32)
         return idx, count
 

@@ -113,3 +113,13 @@ def test_extra_feature_channels_ignored():
     a = build_sphere_neighbor(db6, db6, radius=0.5, nn_sample=8)
     b = build_sphere_neighbor(db, db, radius=0.5, nn_sample=8)
     np.testing.assert_array_equal(np.asarray(a.idx), np.asarray(b.idx))
+
+
+def test_self_graph_flag_equivalent_for_self_queries():
+    rng = np.random.default_rng(11)
+    pts = _random_cloud(rng, 2, 96)
+    a = build_sphere_neighbor(pts, pts, radius=0.5, nn_sample=8)
+    b = build_sphere_neighbor(pts, pts, radius=0.5, nn_sample=8, self_graph=True)
+    np.testing.assert_array_equal(np.asarray(a.idx), np.asarray(b.idx))
+    np.testing.assert_array_equal(np.asarray(a.count), np.asarray(b.count))
+    np.testing.assert_allclose(np.asarray(a.dist), np.asarray(b.dist))
