@@ -19,7 +19,15 @@ from collections.abc import Iterator
 
 import numpy as np
 
-from sph3d_gcn_tpu.data.tfrecord import read_examples
+from sph3d_gcn_tpu.data import native_loader
+from sph3d_gcn_tpu.data.tfrecord import read_examples as _read_examples_py
+
+
+def read_examples(path, verify_crc: bool = False):
+    """Prefer the native C++ record scanner when available."""
+    if native_loader.available():
+        return native_loader.read_examples_native(path, verify_crc)
+    return _read_examples_py(path, verify_crc)
 
 
 def _decode_raw(example: dict, key: str, dtype, width: int | None = None):
