@@ -3,18 +3,22 @@ which is single-GPU — SURVEY.md §2.7)."""
 
 from sph3d_gcn_tpu.parallel.mesh import (
     DATA_AXIS,
+    DCN_AXIS,
     MODEL_AXIS,
     batch_sharding,
     make_mesh,
+    make_multislice_mesh,
     replicated,
     shard_batch,
 )
 
 __all__ = [
     "DATA_AXIS",
+    "DCN_AXIS",
     "MODEL_AXIS",
     "batch_sharding",
     "make_mesh",
+    "make_multislice_mesh",
     "replicated",
     "shard_batch",
 ]

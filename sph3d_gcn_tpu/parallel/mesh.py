@@ -15,6 +15,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+DCN_AXIS = "dcn"
 
 
 def make_mesh(
@@ -33,9 +34,42 @@ def make_mesh(
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
+def make_multislice_mesh(
+    num_slices: int,
+    devices: list[jax.Device] | None = None,
+    model_parallelism: int = 1,
+) -> Mesh:
+    """Build a ('dcn', 'data', 'model') mesh for multi-slice scale-out.
+
+    The 'dcn' axis crosses slice boundaries (data-center network); 'data'
+    and 'model' stay within a slice so their collectives ride ICI. Shard the
+    batch over ('dcn', 'data') jointly for pure data parallelism across
+    slices (SURVEY.md §5 "distributed communication backend").
+
+    On real multi-slice TPU deployments devices are ordered slice-major, so
+    the reshape below groups each slice's devices on the ICI axes; for
+    emulation any device list works.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    per_slice = n // num_slices
+    if num_slices * per_slice != n or per_slice % model_parallelism != 0:
+        raise ValueError(
+            f"{n} devices cannot form {num_slices} slices with "
+            f"model_parallelism={model_parallelism}"
+        )
+    grid = np.array(devices).reshape(
+        num_slices, per_slice // model_parallelism, model_parallelism
+    )
+    return Mesh(grid, (DCN_AXIS, DATA_AXIS, MODEL_AXIS))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) axis across the data axis."""
-    return NamedSharding(mesh, P(DATA_AXIS))
+    """Shard the leading (batch) axis across all data-parallel axes
+    (('dcn', 'data') on multi-slice meshes, 'data' otherwise)."""
+    axes = tuple(ax for ax in (DCN_AXIS, DATA_AXIS) if ax in mesh.axis_names)
+    return NamedSharding(mesh, P(axes))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -121,3 +121,28 @@ def test_eval_step_deterministic():
     a = ev(state, batch)
     b = ev(state, batch)
     np.testing.assert_array_equal(np.asarray(a["logits"]), np.asarray(b["logits"]))
+
+
+def test_multislice_mesh_train_step():
+    # Emulate 2 slices x 4 chips: batch shards over ('dcn','data') jointly.
+    from sph3d_gcn_tpu.parallel import make_multislice_mesh
+
+    mesh = make_multislice_mesh(num_slices=2)
+    assert mesh.axis_names == ("dcn", "data", "model")
+    assert mesh.devices.shape == (2, 4, 1)
+    cfg = _seg_cfg()
+    model = SPH3DSceneSeg(cfg)
+    fac = segmentation_step_factory(
+        model, make_optimizer("adam", 0.001), mesh=mesh, inner_masked=True
+    )
+    rng = np.random.default_rng(3)
+    batch = {
+        "points": rng.standard_normal((8, 64, 9)).astype(np.float32),
+        "label": rng.integers(0, 5, (8, 64)).astype(np.int32),
+        "inner_label": np.ones((8, 64), np.int32),
+    }
+    batch = shard_batch(mesh, batch)
+    state = fac.init_state(jax.random.key(0), batch)
+    step = fac.train_step()
+    state, metrics = step(state, batch, jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
