@@ -36,6 +36,10 @@ def main():
     parser.add_argument("--epoch", type=int, default=None)
     parser.add_argument("--save_blocks", action="store_true",
                         help="dump per-block logits npz like the reference .mat files")
+    parser.add_argument("--submission_dir", default=None,
+                        help="ScanNet only: write per-scene NYU-40 label txt "
+                             "files for benchmark submission "
+                             "(ref post-merging/scannet_merge.m:53-66)")
     parser.add_argument("--platform", default=None,
                         help="force a jax backend (e.g. cpu); the environment's "
                              "sitecustomize may pre-register a TPU platform, so "
@@ -139,6 +143,21 @@ def main():
                 continue
             gt = np.load(path)
             labels = merge_scene_predictions(len(gt["label"]), blks, cfg.num_cls)
+            if args.submission_dir and args.dataset == "scannet":
+                from sph3d_gcn_tpu.data.prep.scannet import (
+                    benchmark21_to_nyu40,
+                )
+
+                os.makedirs(args.submission_dir, exist_ok=True)
+                out_labels = benchmark21_to_nyu40(labels)
+                if "full_xyz" in gt:
+                    out_labels = project_labels_to_full_cloud(
+                        gt["xyz"], out_labels, gt["full_xyz"]
+                    )
+                np.savetxt(
+                    os.path.join(args.submission_dir, scene + ".txt"),
+                    out_labels, fmt="%d",
+                )
             if "full_xyz" in gt:
                 pred_full = project_labels_to_full_cloud(
                     gt["xyz"], labels, gt["full_xyz"]
