@@ -8,7 +8,6 @@ cls_label}).
 
 from __future__ import annotations
 
-import os
 
 import numpy as np
 from scipy.spatial import cKDTree

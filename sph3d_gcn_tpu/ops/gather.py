@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 
 def _gather_impl(feats: jax.Array, idx: jax.Array) -> jax.Array:
