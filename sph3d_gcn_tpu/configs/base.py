@@ -45,6 +45,15 @@ class SPH3DConfig:
     # segmentation-only classifier MLP (ref shapenet_config.py mlp2)
     mlp2: int | None = None
     num_parts: int | None = None  # ShapeNet per-category part count
+    # 'float32' (reference parity) or 'bfloat16' (MXU-native training mode;
+    # graph construction and BN statistics stay f32 either way)
+    compute_dtype: str = "float32"
+
+    @property
+    def dtype(self):
+        import jax.numpy as jnp
+
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
 
     @property
     def bin_size(self) -> int:

@@ -63,6 +63,7 @@ class SeparableConvBlock(fnn.Module):
                 depth_multiplier=self.depth_multiplier[i],
                 with_bn=cfg.with_bn,
                 with_bias=cfg.with_bias,
+                dtype=cfg.dtype,
                 name=f"_{i + 1}",
             )(net, nbh, filt_index, train)
         return net

@@ -53,7 +53,8 @@ class SPH3DModelNet(fnn.Module):
         query = jnp.mean(xyz, axis=1, keepdims=True)
 
         net = PointwiseConv3d(
-            cfg.mlp, with_bn=cfg.with_bn, with_bias=cfg.with_bias, name="mlp1"
+            cfg.mlp, with_bn=cfg.with_bn, with_bias=cfg.with_bias,
+            dtype=cfg.dtype, name="mlp1"
         )(xyz, train)
 
         sample_key = None
@@ -103,6 +104,7 @@ class SPH3DModelNet(fnn.Module):
             depth_multiplier=cfg.global_multiplier,
             with_bn=cfg.with_bn,
             with_bias=cfg.with_bias,
+            dtype=cfg.dtype,
             name="global_conv",
         )(net, gnbh, gfilt, train)
         global_feat.append(net)
@@ -110,11 +112,13 @@ class SPH3DModelNet(fnn.Module):
 
         net = net.reshape(net.shape[0], -1)
         net = FullyConnected(
-            512, with_bn=cfg.with_bn, with_bias=cfg.with_bias, name="fc1"
+            512, with_bn=cfg.with_bn, with_bias=cfg.with_bias, dtype=cfg.dtype,
+            name="fc1"
         )(net, train)
         net = fnn.Dropout(0.5, deterministic=not train, name="fc1_dp")(net)
         net = FullyConnected(
-            256, with_bn=cfg.with_bn, with_bias=cfg.with_bias, name="fc2"
+            256, with_bn=cfg.with_bn, with_bias=cfg.with_bias, dtype=cfg.dtype,
+            name="fc2"
         )(net, train)
         net = fnn.Dropout(0.5, deterministic=not train, name="fc2_dp")(net)
         net = FullyConnected(

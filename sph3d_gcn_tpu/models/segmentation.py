@@ -56,7 +56,8 @@ class SegEncoderDecoder(fnn.Module):
         num_levels = len(cfg.radius)
 
         net = PointwiseConv3d(
-            cfg.mlp, with_bn=cfg.with_bn, with_bias=cfg.with_bias, name="mlp1"
+            cfg.mlp, with_bn=cfg.with_bn, with_bias=cfg.with_bias,
+            dtype=cfg.dtype, name="mlp1"
         )(net, train)
 
         sample_key = None
@@ -125,7 +126,8 @@ class SegEncoderDecoder(fnn.Module):
         if self.include_input_skip:
             # mlp2 + concat of the mlp1 features (ref SPH3D_shapenet.py:106-108).
             net = PointwiseConv3d(
-                cfg.mlp, with_bn=cfg.with_bn, with_bias=cfg.with_bias, name="mlp2"
+                cfg.mlp, with_bn=cfg.with_bn, with_bias=cfg.with_bias,
+                dtype=cfg.dtype, name="mlp2"
             )(net, train)
             net = jnp.concatenate((net, encoder[-1]), axis=2)
 

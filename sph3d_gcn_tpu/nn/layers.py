@@ -44,12 +44,13 @@ class BatchNorm(fnn.Module):
 
     @fnn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
-        return fnn.BatchNorm(
+        out = fnn.BatchNorm(
             use_running_average=not train,
             momentum=self.momentum,
             epsilon=self.epsilon,
             axis_name=None,
-        )(x)
+        )(x.astype(jnp.float32))  # statistics always in f32
+        return out.astype(x.dtype)
 
 
 class SeparableConv3d(fnn.Module):
@@ -59,6 +60,9 @@ class SeparableConv3d(fnn.Module):
     Parameter names keep the reference's variable scoping
     (``depthwise_weights``, ``weights``, ``biases``) so the TF1 checkpoint
     converter is a pure name map.
+
+    ``dtype`` selects the compute/activation precision (params stay f32);
+    bfloat16 rides the MXU's native path for training throughput.
     """
 
     num_out_channels: int
@@ -67,6 +71,7 @@ class SeparableConv3d(fnn.Module):
     activation: Activation = fnn.elu
     with_bn: bool = False
     with_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @fnn.compact
     def __call__(
@@ -76,6 +81,7 @@ class SeparableConv3d(fnn.Module):
         filt_index: jax.Array,
         train: bool = False,
     ) -> jax.Array:
+        inputs = inputs.astype(self.dtype)
         c_in = inputs.shape[-1]
         depthwise = self.param(
             "depthwise_weights",
@@ -88,14 +94,17 @@ class SeparableConv3d(fnn.Module):
             "weights", _glorot, (c_in * self.depth_multiplier, self.num_out_channels)
         )
         out = jnp.einsum(
-            "bmc,co->bmo", out, kernel, preferred_element_type=jnp.float32
-        )
+            "bmc,co->bmo",
+            out,
+            kernel.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype)
 
         if self.with_bias:
             bias = self.param(
                 "biases", fnn.initializers.zeros_init(), (self.num_out_channels,)
             )
-            out = out + bias
+            out = out + bias.astype(out.dtype)
         if self.activation is not None:
             out = self.activation(out)
         if self.with_bn:
@@ -110,19 +119,24 @@ class PointwiseConv3d(fnn.Module):
     activation: Activation = fnn.elu
     with_bn: bool = False
     with_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @fnn.compact
     def __call__(self, inputs: jax.Array, train: bool = False) -> jax.Array:
+        inputs = inputs.astype(self.dtype)
         c_in = inputs.shape[-1]
         kernel = self.param("weights", _glorot, (c_in, self.num_out_channels))
         out = jnp.einsum(
-            "bmc,co->bmo", inputs, kernel, preferred_element_type=jnp.float32
-        )
+            "bmc,co->bmo",
+            inputs,
+            kernel.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype)
         if self.with_bias:
             bias = self.param(
                 "biases", fnn.initializers.zeros_init(), (self.num_out_channels,)
             )
-            out = out + bias
+            out = out + bias.astype(out.dtype)
         if self.activation is not None:
             out = self.activation(out)
         if self.with_bn:
@@ -137,17 +151,19 @@ class FullyConnected(fnn.Module):
     activation: Activation = fnn.elu
     with_bn: bool = False
     with_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @fnn.compact
     def __call__(self, inputs: jax.Array, train: bool = False) -> jax.Array:
+        inputs = inputs.astype(self.dtype)
         c_in = inputs.shape[-1]
         kernel = self.param("weights", _glorot, (c_in, self.num_out_channels))
-        out = inputs @ kernel
+        out = (inputs @ kernel.astype(self.dtype)).astype(self.dtype)
         if self.with_bias:
             bias = self.param(
                 "biases", fnn.initializers.zeros_init(), (self.num_out_channels,)
             )
-            out = out + bias
+            out = out + bias.astype(out.dtype)
         if self.activation is not None:
             out = self.activation(out)
         if self.with_bn:

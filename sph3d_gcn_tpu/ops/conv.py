@@ -74,6 +74,16 @@ def depthwise_conv3d(
     batch, num_in, c_in = inputs.shape
     num_out, k = nn_index.shape[1], nn_index.shape[2]
     f_bins, _, mult = filt.shape
+    # Mixed precision: bfloat16 inputs use the MXU's native bf16 path; f32
+    # inputs keep HIGHEST precision for parity with the reference
+    # accumulation. Accumulation is always f32.
+    compute_dtype = inputs.dtype
+    precision = (
+        lax.Precision.DEFAULT
+        if compute_dtype == jnp.bfloat16
+        else lax.Precision.HIGHEST
+    )
+    filt = filt.astype(compute_dtype)
 
     # Chunk over the output-point axis with a PYTHON loop, not lax.map:
     # gathers inside XLA TPU loop bodies fall back to a ~600ns/element
@@ -99,27 +109,25 @@ def depthwise_conv3d(
         inv_cnt = 1.0 / jnp.maximum(cnt, 1).astype(jnp.float32)
         # One-hot segment matrix over bins; invalid edges contribute nothing.
         onehot = (bins[..., None] == jnp.arange(f_bins)[None, None, None, :])
-        onehot = jnp.where(valid[..., None], onehot, False).astype(jnp.float32)
+        onehot = jnp.where(valid[..., None], onehot, False).astype(compute_dtype)
         # S[b,t,f,c] = sum_k onehot[b,t,k,f] * g[b,t,k,c]  (MXU batched matmul)
-        # HIGHEST precision: TPU matmuls default to bf16 inputs; feature
-        # values need full f32 for parity with the reference accumulation.
         s = jnp.einsum(
             "btkf,btkc->btfc",
             onehot,
             g,
             preferred_element_type=jnp.float32,
-            precision=lax.Precision.HIGHEST,
+            precision=precision,
         )
         s = s * inv_cnt[..., None, None]
         # Depthwise contraction over bins (tiny).
         out = jnp.einsum(
             "btfc,fcr->btcr",
-            s,
+            s.astype(compute_dtype),
             filt,
             preferred_element_type=jnp.float32,
-            precision=lax.Precision.HIGHEST,
+            precision=precision,
         )
-        outs.append(out.reshape(batch, t, c_in * mult))
+        outs.append(out.reshape(batch, t, c_in * mult).astype(compute_dtype))
 
     out = outs[0] if num_chunks == 1 else jnp.concatenate(outs, axis=1)
     return out[:, :num_out]

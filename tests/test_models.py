@@ -140,3 +140,19 @@ def test_param_structure_matches_reference_scopes():
     assert "depthwise_weights" in params["conv1"]["_1"]
     assert "global_conv" in params
     assert set(params["logits"].keys()) == {"weights"}  # no bias by config
+
+
+def test_bfloat16_compute_mode():
+    import dataclasses
+
+    cfg32 = _tiny_seg_config(num_cls=5)
+    cfg16 = dataclasses.replace(cfg32, compute_dtype="bfloat16")
+    pts = np.random.default_rng(9).standard_normal((2, 64, 9)).astype(np.float32)
+    m32, m16 = SPH3DSceneSeg(cfg32), SPH3DSceneSeg(cfg16)
+    v = m32.init(jax.random.key(0), pts, train=False)
+    out32 = np.asarray(m32.apply(v, pts, train=False))
+    out16 = np.asarray(m16.apply(v, pts, train=False))
+    assert out16.dtype == np.float32  # logits head stays f32
+    # bf16 compute tracks f32 loosely
+    denom = np.maximum(np.abs(out32), 0.3)
+    assert np.median(np.abs(out16 - out32) / denom) < 0.15
