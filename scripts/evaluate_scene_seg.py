@@ -13,7 +13,6 @@ full-resolution metric like `data/s3dis_full` in the reference).
 """
 
 import argparse
-import glob
 import os
 import sys
 
@@ -53,7 +52,6 @@ def main():
 
     import jax
 
-    from sph3d_gcn_tpu.configs import SPH3DConfig  # noqa: F401 (snapshot)
     from sph3d_gcn_tpu.data.datasets import load_scene_blocks, pad_batch
     from sph3d_gcn_tpu.data.merge import (
         SceneAccumulator,
