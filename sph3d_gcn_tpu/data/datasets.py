@@ -156,13 +156,20 @@ def scene_batches(
 
 
 def pad_batch(batch: dict[str, np.ndarray], batch_size: int) -> tuple[dict, int]:
-    """Zero-pad a short final batch to the fixed batch size, returning the
-    true size (the reference's cur_batch trick, ref train_modelnet.py:262-283)."""
+    """Pad a short final batch to the fixed batch size by repeating the last
+    item, returning the true size.
+
+    The reference pads with a reused buffer (stale rows of the previous
+    batch, ref train_modelnet.py:262-283) — never with zeros: an all-zero
+    cloud makes the per-cloud unit-sphere normalization divide by zero and
+    the resulting NaNs poison the whole batch through batch norm. Repeating
+    a real item keeps every row a valid cloud.
+    """
     bsize = len(next(iter(batch.values())))
     if bsize == batch_size:
         return batch, bsize
     out = {}
     for k, v in batch.items():
-        pad = np.zeros((batch_size - bsize,) + v.shape[1:], v.dtype)
+        pad = np.repeat(v[-1:], batch_size - bsize, axis=0)
         out[k] = np.concatenate([v, pad], axis=0)
     return out, bsize

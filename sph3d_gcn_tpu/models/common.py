@@ -14,12 +14,15 @@ from sph3d_gcn_tpu.ops.types import Neighborhood
 
 def normalize_unit_sphere(points: jax.Array) -> jax.Array:
     """Center and scale each cloud into the unit sphere
-    (ref models/SPH3D_modelnet.py:11-17, SPH3D_shapenet.py:11-17)."""
+    (ref models/SPH3D_modelnet.py:11-17, SPH3D_shapenet.py:11-17).
+
+    Guards against degenerate all-identical clouds (e.g. padding), whose
+    zero scale would otherwise inject NaNs into batch statistics."""
     points = points - jnp.mean(points, axis=1, keepdims=True)
     scale = jnp.max(
         jnp.sum(jnp.square(points), axis=-1, keepdims=True), axis=1, keepdims=True
     )
-    return points / jnp.sqrt(scale)
+    return points / jnp.sqrt(jnp.maximum(scale, 1e-12))
 
 
 def normalize_xy_center_z_floor(points: jax.Array) -> jax.Array:

@@ -136,12 +136,25 @@ def test_modelnet_records_roundtrip(tmp_path):
     )
 
 
-def test_pad_batch():
-    batch = {"points": np.ones((3, 8, 3)), "label": np.ones(3, np.int32)}
+def test_pad_batch_repeats_last_item():
+    batch = {"points": np.ones((3, 8, 3)), "label": np.arange(3, dtype=np.int32)}
     padded, bsize = pad_batch(batch, 5)
     assert bsize == 3
     assert padded["points"].shape[0] == 5
-    assert (padded["points"][3:] == 0).all()
+    # pads repeat the last REAL item (zeros would make degenerate clouds
+    # that NaN the unit-sphere normalization through batch norm)
+    np.testing.assert_array_equal(padded["points"][3], batch["points"][2])
+    assert padded["label"].tolist() == [0, 1, 2, 2, 2]
+
+
+def test_normalize_unit_sphere_degenerate_cloud():
+    import jax.numpy as jnp
+
+    from sph3d_gcn_tpu.models.common import normalize_unit_sphere
+
+    pts = jnp.zeros((2, 16, 3))  # all-identical cloud
+    out = np.asarray(normalize_unit_sphere(pts))
+    assert np.isfinite(out).all()
 
 
 def test_resample_indices_rule():
