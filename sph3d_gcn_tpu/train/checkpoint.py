@@ -30,10 +30,12 @@ class Checkpointer:
         )
 
     def save(self, epoch: int, state: Any) -> None:
+        """Blocking per-epoch save (ref train_modelnet.py:254)."""
         self._mngr.save(epoch, args=ocp.args.StandardSave(state))
         self._mngr.wait_until_finished()
 
     def latest_epoch(self) -> int | None:
+        """Latest saved epoch, or None (ref tf.train.latest_checkpoint use)."""
         return self._mngr.latest_step()
 
     def restore(self, state_template: Any, epoch: int | None = None) -> Any:
@@ -74,6 +76,8 @@ def snapshot_config(log_dir: str | os.PathLike, config: Any) -> None:
 
 
 def load_config_snapshot(log_dir: str | os.PathLike):
+    """Rebuild the SPH3DConfig saved by ``snapshot_config`` (the eval-time
+    architecture reload, ref evaluate_modelnet.py:35-46)."""
     from sph3d_gcn_tpu.configs.base import SPH3DConfig
 
     with open(os.path.join(log_dir, "config.json")) as f:

@@ -70,6 +70,8 @@ class StepFactory:
     model_kwargs_keys: tuple[str, ...] = ()
 
     def init_state(self, rng, sample_batch) -> TrainState:
+        """Initialize params/BN stats/optimizer state from a sample batch
+        (replicated onto the mesh when one is configured)."""
         extra = [sample_batch[k] for k in self.model_kwargs_keys]
         variables = self.model.init(
             rng, sample_batch["points"], *extra, train=False
@@ -158,6 +160,8 @@ class StepFactory:
 def classification_step_factory(
     model, tx, weight_decay=None, mesh=None
 ) -> StepFactory:
+    """StepFactory with the mean softmax-CE classification loss
+    (ref SPH3D_modelnet.py:112-119)."""
     from sph3d_gcn_tpu.models.modelnet import classification_loss
 
     return StepFactory(
@@ -173,6 +177,8 @@ def segmentation_step_factory(
     model, tx, weight_decay=None, mesh=None, inner_masked=False,
     model_kwargs_keys=(),
 ) -> StepFactory:
+    """StepFactory with the per-point CE loss; ``inner_masked`` selects the
+    S3DIS/ScanNet inner-point masked variant (ref SPH3D_s3dis.py:116-133)."""
     from sph3d_gcn_tpu.models.segmentation import (
         inner_masked_segmentation_loss,
         segmentation_loss,
