@@ -125,3 +125,45 @@ def test_train_and_evaluate_s3dis(tmp_path):
     assert "block-level OA" in out
     assert "merged scene metrics" in out
     assert "mIoU" in out
+
+
+def _write_ruemonge(tmp_path, n_blocks=3):
+    rng = np.random.default_rng(7)
+    paths = []
+    for bi in range(n_blocks):
+        scene = f"train_facade_{bi}"
+        path = tmp_path / f"{scene}.tfrecord"
+        n = 300
+        with TFRecordWriter(path) as w:
+            w.write_example({
+                "xyz_raw": rng.standard_normal((n, 3)).astype(np.float32).tobytes(),
+                "normal_raw": rng.standard_normal((n, 3)).astype(np.float32).tobytes(),
+                "rgb_raw": rng.random((n, 3)).astype(np.float32).tobytes(),
+                "seg_label": rng.integers(0, 7, n).astype(np.int32).tobytes(),
+                "inner_label": np.ones(n, np.int32).tobytes(),
+                "index_label": np.arange(n, dtype=np.int32).tobytes(),
+                "scene_label": np.int64(0),
+                "scene_idx": np.int64(bi),
+            })
+        paths.append(str(path))
+    for phase in ("train", "test"):
+        with open(tmp_path / f"{phase}_files.txt", "w") as f:
+            f.write("\n".join(paths) + "\n")
+
+
+@pytest.mark.slow
+def test_train_ruemonge_nine_dim_inputs(tmp_path):
+    _write_ruemonge(tmp_path)
+    log_dir = str(tmp_path / "log")
+    out = _run(
+        "train_scene_seg.py",
+        "--dataset", "ruemonge2014",
+        "--data_dir", str(tmp_path),
+        "--log_dir", log_dir,
+        "--max_epoch", "1",
+        "--batch_size", "2",
+        "--num_input", "128",
+    )
+    # RueMonge tiles its train list 100x (ref train_ruemonge2014.py:63)
+    assert "train blocks: 300" in out
+    assert os.path.exists(os.path.join(log_dir, "config.json"))
