@@ -156,3 +156,21 @@ def test_bfloat16_compute_mode():
     # bf16 compute tracks f32 loosely
     denom = np.maximum(np.abs(out32), 0.3)
     assert np.median(np.abs(out16 - out32) / denom) < 0.15
+
+
+def test_ids_and_random_sampling_modes():
+    import dataclasses
+
+    base = _tiny_seg_config(num_cls=4)
+    pts = np.random.default_rng(10).standard_normal((2, 64, 9)).astype(np.float32)
+    for method in ("IDS", "random"):
+        cfg = dataclasses.replace(base, sample=method)
+        model = SPH3DSceneSeg(cfg)
+        v = model.init(
+            jax.random.key(0), pts, train=False,
+        )
+        out = model.apply(
+            v, pts, train=False, rngs={"sample": jax.random.key(1)}
+        )
+        assert out.shape == (2, 64, 4)
+        assert np.isfinite(np.asarray(out)).all()
