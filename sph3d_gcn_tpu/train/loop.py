@@ -8,6 +8,7 @@ checkpoints with auto-resume.
 
 from __future__ import annotations
 
+import json
 import os
 import time
 from collections.abc import Callable, Iterator
@@ -23,19 +24,28 @@ from sph3d_gcn_tpu.train.steps import StepFactory
 
 
 class Logger:
-    """Tee to stdout and a log file (ref train_modelnet.py:56,68-71)."""
+    """Tee to stdout and a log file (ref train_modelnet.py:56,68-71), plus a
+    metrics.jsonl scalar stream (the TF-summary equivalent,
+    ref train_modelnet.py:167-178,207-209)."""
 
     def __init__(self, log_dir: str, name: str = "log_train.txt"):
         os.makedirs(log_dir, exist_ok=True)
         self._f = open(os.path.join(log_dir, name), "a")
+        self._metrics = open(os.path.join(log_dir, "metrics.jsonl"), "a")
 
     def log(self, msg: str) -> None:
         self._f.write(msg + "\n")
         self._f.flush()
         print(msg, flush=True)
 
+    def scalars(self, **kwargs) -> None:
+        """Append one JSON line of scalar metrics."""
+        self._metrics.write(json.dumps(kwargs) + "\n")
+        self._metrics.flush()
+
     def close(self) -> None:
         self._f.close()
+        self._metrics.close()
 
 
 def _batch_accuracy(logits: np.ndarray, batch: dict, bsize: int) -> tuple[int, int]:
@@ -124,6 +134,12 @@ def fit(
                 "training one batch require %.2f milliseconds"
                 % (1000 * train_time / batch_idx)
             )
+            logger.scalars(
+                epoch=epoch,
+                step=int(state.step),
+                train_loss=loss,
+                ms_per_batch=1000 * train_time / batch_idx,
+            )
 
         if eval_step is not None:
             logger.log(f"---- EPOCH {epoch:03d} EVALUATION ----")
@@ -142,6 +158,11 @@ def fit(
             if ev_batches:
                 logger.log(f"eval mean loss: {ev_loss / ev_batches:f}")
                 logger.log(f"eval accuracy: {ev_correct / max(1, ev_seen):f}")
+                logger.scalars(
+                    epoch=epoch,
+                    eval_loss=ev_loss / ev_batches,
+                    eval_accuracy=ev_correct / max(1, ev_seen),
+                )
 
         ckpt.save(epoch, state)
         logger.log(f"Model saved at epoch {epoch}")
