@@ -80,6 +80,8 @@ def _scene_seg_config(num_cls: int, num_input: int = 8192) -> SPH3DConfig:
         sample="FPS",
         with_bn=True,
         with_bias=False,
+        # full-size seg models need activation remat to fit 16GB HBM at B=16
+        remat_blocks=(num_input >= 4096),
     )
 
 

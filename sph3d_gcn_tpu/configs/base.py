@@ -48,6 +48,9 @@ class SPH3DConfig:
     # 'float32' (reference parity) or 'bfloat16' (MXU-native training mode;
     # graph construction and BN statistics stay f32 either way)
     compute_dtype: str = "float32"
+    # rematerialize conv blocks in backward (trades ~30% conv FLOPs for
+    # activation memory; needed for the 8192-point seg models at batch 16)
+    remat_blocks: bool = False
 
     @property
     def dtype(self):

@@ -59,8 +59,12 @@ class SeparableConvBlock(fnn.Module):
         train: bool = False,
     ) -> jax.Array:
         cfg = self.config
+        conv_cls = SeparableConv3d
+        if cfg.remat_blocks:
+            # rematerialize activations in backward (train flag is static)
+            conv_cls = fnn.remat(SeparableConv3d, static_argnums=(4,))
         for i, num_out in enumerate(self.list_channels):
-            net = SeparableConv3d(
+            net = conv_cls(
                 num_out_channels=num_out,
                 bin_size=self.bin_size,
                 depth_multiplier=self.depth_multiplier[i],

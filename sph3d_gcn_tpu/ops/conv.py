@@ -35,7 +35,7 @@ from jax import lax
 from sph3d_gcn_tpu.ops.gather import gather_features
 
 # Byte budget for the (B, T, K, max(C, F)) f32 transients of one chunk.
-_CHUNK_BYTES = 128 * 1024 * 1024
+_CHUNK_BYTES = 64 * 1024 * 1024
 
 
 def _chunk_size(batch: int, k: int, width: int, num_out: int) -> int:

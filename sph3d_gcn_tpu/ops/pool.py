@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from sph3d_gcn_tpu.ops.chunking import chunk_size, map_output_chunks
 from sph3d_gcn_tpu.ops.gather import gather_features as _gather_features
 
 
@@ -50,16 +51,26 @@ def max_pool3d(
        max_index (B, M, C) int32 — the *input point* index of the max, as the
        reference returns (ref tf_pool3d.cpp / tf_pool3d_gpu.cu:5-34)).
     """
-    g = _gather_features(inputs, nn_index)  # (B, M, K, C)
-    valid = _valid_mask(nn_index, nn_count)
-    neg_inf = jnp.finfo(g.dtype).min
-    gm = jnp.where(valid[..., None], g, neg_inf)
-    out = jnp.max(gm, axis=2)
-    arg_k = jnp.argmax(gm, axis=2)  # (B, M, C); first max in k-order
-    max_index = jnp.take_along_axis(
-        nn_index[..., None], arg_k[:, :, None, :], axis=2
-    ).squeeze(2)
-    return out, max_index
+    batch, num_out, k = nn_index.shape
+
+    def one_chunk(idx, cnt):
+        g = _gather_features(inputs, idx)  # (B, T, K, C)
+        valid = _valid_mask(idx, cnt)
+        neg_inf = jnp.finfo(g.dtype).min
+        gm = jnp.where(valid[..., None], g, neg_inf)
+        out = jnp.max(gm, axis=2)
+        arg_k = jnp.argmax(gm, axis=2)  # (B, T, C); first max in k-order
+        max_index = jnp.take_along_axis(
+            idx[..., None], arg_k[:, :, None, :], axis=2
+        ).squeeze(2)
+        return jnp.concatenate(
+            [out, max_index.astype(out.dtype)], axis=-1
+        )
+
+    t = chunk_size(batch, k, inputs.shape[-1], num_out)
+    packed = map_output_chunks(one_chunk, num_out, t, nn_index, nn_count)
+    c = inputs.shape[-1]
+    return packed[..., :c], packed[..., c:].astype(jnp.int32)
 
 
 @jax.jit
@@ -68,8 +79,14 @@ def avg_pool3d(
 ) -> jax.Array:
     """Average pooling: masked mean over valid neighbors
     (ref tf_pool3d_gpu.cu:53-70)."""
-    g = _gather_features(inputs, nn_index)
-    valid = _valid_mask(nn_index, nn_count)
-    summed = jnp.sum(jnp.where(valid[..., None], g, 0.0), axis=2)
-    inv = 1.0 / jnp.maximum(nn_count, 1).astype(inputs.dtype)
-    return summed * inv[..., None]
+    batch, num_out, k = nn_index.shape
+
+    def one_chunk(idx, cnt):
+        g = _gather_features(inputs, idx)
+        valid = _valid_mask(idx, cnt)
+        summed = jnp.sum(jnp.where(valid[..., None], g, 0.0), axis=2)
+        inv = 1.0 / jnp.maximum(cnt, 1).astype(inputs.dtype)
+        return summed * inv[..., None]
+
+    t = chunk_size(batch, k, inputs.shape[-1], num_out)
+    return map_output_chunks(one_chunk, num_out, t, nn_index, nn_count)

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from sph3d_gcn_tpu.ops.chunking import chunk_size, map_output_chunks
 from sph3d_gcn_tpu.ops.gather import gather_features as _gather_features
 
 
@@ -46,11 +47,17 @@ def mean_interpolate(
     Returns:
       (B, N, C) float32 interpolated fine features.
     """
-    g = _gather_features(inputs, nn_index)
-    valid = _valid_mask(nn_index, nn_count)
-    summed = jnp.sum(jnp.where(valid[..., None], g, 0.0), axis=2)
-    inv = 1.0 / jnp.maximum(nn_count, 1).astype(inputs.dtype)
-    return summed * inv[..., None]
+    batch, num_out, k = nn_index.shape
+
+    def one_chunk(idx, cnt):
+        g = _gather_features(inputs, idx)
+        valid = _valid_mask(idx, cnt)
+        summed = jnp.sum(jnp.where(valid[..., None], g, 0.0), axis=2)
+        inv = 1.0 / jnp.maximum(cnt, 1).astype(inputs.dtype)
+        return summed * inv[..., None]
+
+    t = chunk_size(batch, k, inputs.shape[-1], num_out)
+    return map_output_chunks(one_chunk, num_out, t, nn_index, nn_count)
 
 
 @jax.jit
@@ -72,7 +79,15 @@ def weighted_interpolate(
     Returns:
       (B, N, C) float32.
     """
-    g = _gather_features(inputs, nn_index)
-    valid = _valid_mask(nn_index, nn_count)
-    w = jnp.where(valid, weight, 0.0)
-    return jnp.sum(g * w[..., None], axis=2)
+    batch, num_out, k = nn_index.shape
+
+    def one_chunk(idx, cnt, wgt):
+        g = _gather_features(inputs, idx)
+        valid = _valid_mask(idx, cnt)
+        w = jnp.where(valid, wgt, 0.0)
+        return jnp.sum(g * w[..., None], axis=2)
+
+    t = chunk_size(batch, k, inputs.shape[-1], num_out)
+    return map_output_chunks(
+        one_chunk, num_out, t, nn_index, nn_count, weight
+    )
