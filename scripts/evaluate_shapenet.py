@@ -45,7 +45,10 @@ def main():
     from sph3d_gcn_tpu.models import SPH3DShapeNet, SPH3DShapeNetOnehot
     from sph3d_gcn_tpu.train import make_optimizer, segmentation_step_factory
     from sph3d_gcn_tpu.train.checkpoint import Checkpointer, load_config_snapshot
-    from sph3d_gcn_tpu.train.eval import coverage_eval_block
+    from sph3d_gcn_tpu.train.eval import (
+        coverage_eval_block,
+        shapenet_eval_augment,
+    )
     from sph3d_gcn_tpu.train.metrics import shape_iou
 
     cfg = load_config_snapshot(args.log_dir)
@@ -104,8 +107,11 @@ def main():
             return np.asarray(eval_step(state, batch)["logits"])[:bsize]
 
         label = rec[label_key]
+        # >10-sample coverage with paired raw+augmented passes
+        # (ref evaluate_shapenet.py:228-247)
         logits = coverage_eval_block(
-            forward, rec["xyz"], np.ones_like(label), cfg.num_input, rng
+            forward, rec["xyz"], np.ones_like(label), cfg.num_input, rng,
+            min_count=11, augment_fn=shapenet_eval_augment,
         )
         pred = logits.argmax(-1)
         if args.onehot:

@@ -74,6 +74,9 @@ def coverage_eval_block(
     num_model_points: int,
     rng: np.random.Generator | None = None,
     max_rounds: int = 100,
+    min_count: int = 1,
+    augment_fn: Callable[[np.ndarray, np.random.Generator], np.ndarray]
+    | None = None,
 ) -> np.ndarray:
     """Accumulate logits for ONE block until every inner point is covered.
 
@@ -85,6 +88,12 @@ def coverage_eval_block(
       rng: PRNG for resampling.
       max_rounds: safety bound (the reference loops unboundedly,
         ref evaluate_s3dis_with_overlap.py:270).
+      min_count: required samples per inner point. The scene evals use 1
+        (ref evaluate_s3dis_with_overlap.py:286); the ShapeNet eval requires
+        > 10 (ref evaluate_shapenet.py:239).
+      augment_fn: optional (B, N, 3)-xyz augmentation; when given, every
+        resample runs a second, augmented pass whose logits are accumulated
+        at the same positions (ref evaluate_shapenet.py:245-247).
 
     Returns:
       (P, C) accumulated logits per original block point.
@@ -98,11 +107,27 @@ def coverage_eval_block(
     pred_sum = None
     for _ in range(max_rounds):
         sel = resample_block(num, num_model_points, rng)
-        logits = np.asarray(forward(block_points[None, sel]))[0]
+        chunk = block_points[None, sel]
+        logits = np.asarray(forward(chunk))[0]
         if pred_sum is None:
             pred_sum = np.zeros((num, logits.shape[-1]), np.float32)
         np.add.at(pred_sum, sel, logits)
+        if augment_fn is not None:
+            aug = chunk.copy()
+            aug[..., 0:3] = augment_fn(aug[..., 0:3], rng)
+            np.add.at(pred_sum, sel, np.asarray(forward(aug))[0])
         sample_count[sel] += 1
-        if int((sample_count[inner_idx] > 0).sum()) >= inner_size:
+        if int((sample_count[inner_idx] >= min_count).sum()) >= inner_size:
             break
     return pred_sum
+
+
+def shapenet_eval_augment(
+    batch_xyz: np.ndarray, rng: np.random.Generator
+) -> np.ndarray:
+    """The ShapeNet eval-vote augmentation (ref evaluate_shapenet.py:86-94)."""
+    x = aug.rotate_perturbation_point_cloud(batch_xyz, rng)
+    x = aug.random_scale_point_cloud(x, rng)
+    x = aug.shift_point_cloud(x, rng)
+    x = aug.jitter_point_cloud(x, rng)
+    return x

@@ -194,3 +194,27 @@ def test_coverage_eval_block_covers_all_inner():
     assert logits.shape == (50, 4)
     covered = logits.sum(axis=1) > 0
     assert covered[inner == 1].all()
+
+
+def test_coverage_eval_min_count_and_augment():
+    from sph3d_gcn_tpu.train.eval import shapenet_eval_augment
+
+    rng = np.random.default_rng(5)
+    pts = rng.standard_normal((30, 3)).astype(np.float32)
+    inner = np.ones(30, np.int32)
+    calls = []
+
+    def forward(x):
+        calls.append(x.copy())
+        return np.ones((1, x.shape[1], 3))
+
+    logits = coverage_eval_block(
+        forward, pts, inner, num_model_points=10, rng=rng,
+        min_count=3, augment_fn=shapenet_eval_augment,
+    )
+    # paired raw+augmented passes: even call count, consecutive pairs differ
+    assert len(calls) % 2 == 0
+    assert not np.allclose(calls[0], calls[1])
+    # every point sampled at least min_count times => logit sums >= 3*2 per hit
+    counts = logits[:, 0]  # each hit adds 1 (raw) + 1 (augmented)
+    assert counts.min() >= 2 * 3
