@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Device-time breakdown of a full train step, mapped to source operations.
+
+Captures a jax.profiler trace of one ModelNet (or S3DIS) train step on the
+current backend and aggregates device op time by the originating source op
+(grepping ``op_name`` metadata out of the compiled HLO). This is the tool
+that located every round-1 bottleneck (top_k lowering to sort, in-loop
+gathers, unpool backward blowup) — see CLAUDE.md "Platform gotchas".
+
+Usage: python scripts/profile_step.py [--model s3dis] [--batch_size 16]
+"""
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import os
+import re
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", default="modelnet",
+                        choices=["modelnet", "s3dis"])
+    parser.add_argument("--batch_size", type=int, default=16)
+    parser.add_argument("--top", type=int, default=30)
+    parser.add_argument("--platform", default=None)
+    args = parser.parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    import jax
+
+    from sph3d_gcn_tpu.configs import modelnet_config, s3dis_config
+    from sph3d_gcn_tpu.models import SPH3DModelNet, SPH3DSceneSeg
+    from sph3d_gcn_tpu.train import (
+        classification_step_factory,
+        make_optimizer,
+        segmentation_step_factory,
+    )
+
+    rng = np.random.default_rng(0)
+    b = args.batch_size
+    if args.model == "modelnet":
+        cfg = modelnet_config()
+        model = SPH3DModelNet(cfg)
+        factory = classification_step_factory(
+            model, make_optimizer("adam", 1e-3), weight_decay=cfg.weight_decay
+        )
+        batch = {
+            "points": rng.standard_normal((b, cfg.num_input, 3)).astype(np.float32),
+            "label": rng.integers(0, cfg.num_cls, (b,)).astype(np.int32),
+        }
+        tag = "SPH3DModelNet"
+    else:
+        cfg = s3dis_config()
+        model = SPH3DSceneSeg(cfg)
+        factory = segmentation_step_factory(
+            model, make_optimizer("adam", 1e-3), inner_masked=True
+        )
+        batch = {
+            "points": rng.uniform(-2, 2, (b, cfg.num_input, 6)).astype(np.float32),
+            "label": rng.integers(0, cfg.num_cls, (b, cfg.num_input)).astype(np.int32),
+            "inner_label": rng.integers(0, 2, (b, cfg.num_input)).astype(np.int32),
+        }
+        tag = "SPH3DSceneSeg"
+
+    state = factory.init_state(jax.random.key(0), batch)
+    step = factory.train_step()
+    key = jax.random.key(1)
+    state, m = step(state, batch, key)
+    print("warm loss:", float(m["loss"]))
+
+    trace_dir = tempfile.mkdtemp(prefix="sph3d_trace_")
+    with jax.profiler.trace(trace_dir):
+        state, m = step(state, batch, key)
+        float(m["loss"])
+
+    # Map fusion/while names -> source op names from the compiled HLO.
+    hlo = step.lower(state, batch, key).compile().as_text()
+    meta = {
+        mm.group(1): mm.group(2)
+        for mm in re.finditer(r"%([\w\.\-]+) = [^\n]*?op_name=\"([^\"]+)\"", hlo)
+    }
+
+    paths = sorted(
+        glob.glob(os.path.join(trace_dir, "plugins/profile/*/*.trace.json.gz")),
+        key=os.path.getmtime,
+    )
+    with gzip.open(paths[-1]) as f:
+        trace = json.load(f)
+    events = [
+        e for e in trace["traceEvents"]
+        if e.get("ph") == "X" and e.get("dur", 0) > 200
+    ]
+    agg = collections.Counter()
+    unmapped = collections.Counter()
+    for e in events:
+        name = e["name"]
+        if name in meta:
+            src = meta[name]
+            src = re.sub(r"jit\(step\)/", "", src)
+            src = re.sub(rf"transpose\(jvp\({tag}\)\)", "BWD", src)
+            src = re.sub(rf"jvp\({tag}\)", "FWD", src)
+            agg[src[:110]] += e["dur"]
+        elif not name.startswith("$") and "jit_" not in name and name not in (
+            "np.asarray(jax.Array)", "0",
+        ):
+            unmapped[name] += e["dur"]
+
+    print("== mapped device time by source op ==")
+    for name, dur in agg.most_common(args.top):
+        print(f"{dur / 1000:8.2f} ms  {name}")
+    print(f"mapped total: {sum(agg.values()) / 1000:.1f} ms")
+    print("== unmapped (late-pass fusions: scatters, optimizer, BN) ==")
+    for name, dur in unmapped.most_common(10):
+        print(f"{dur / 1000:8.2f} ms  {name[:80]}")
+    print(f"unmapped total: {sum(unmapped.values()) / 1000:.1f} ms")
+
+
+if __name__ == "__main__":
+    main()
