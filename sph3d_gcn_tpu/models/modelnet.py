@@ -131,8 +131,12 @@ class SPH3DModelNet(fnn.Module):
         return net
 
 
+def classification_item_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Per-item softmax cross entropy, (B,)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+
+
 def classification_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
     """Mean softmax cross entropy (ref SPH3D_modelnet.py:112-119)."""
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
-    return jnp.mean(nll)
+    return jnp.mean(classification_item_loss(logits, labels))

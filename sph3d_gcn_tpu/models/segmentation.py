@@ -241,12 +241,33 @@ class SPH3DRueMonge(fnn.Module):
         )(net, train)
 
 
-def segmentation_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
-    """Plain mean CE over all points (ref SPH3D_ruemonge2014.py:116-123,
-    SPH3D_shapenet.py:116-123)."""
+def segmentation_item_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Per-item mean CE over the item's points, (B,)."""
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
-    return jnp.mean(nll)
+    return jnp.mean(nll, axis=1)
+
+
+def segmentation_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Plain mean CE over all points (ref SPH3D_ruemonge2014.py:116-123,
+    SPH3D_shapenet.py:116-123). Point counts are fixed per item, so this
+    equals the mean of the per-item losses."""
+    return jnp.mean(segmentation_item_loss(logits, labels))
+
+
+def inner_masked_item_loss(
+    logits: jax.Array, labels: jax.Array, inner_label: jax.Array
+) -> jax.Array:
+    """Per-item mean CE over *inner* (non-context) points, (B,); items with
+    no inner points contribute 0 (ref SPH3D_s3dis.py:116-133)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    inner = (inner_label > 0).astype(nll.dtype)
+    per_item_sum = jnp.sum(nll * inner, axis=1)
+    per_item_cnt = jnp.sum(inner, axis=1)
+    return jnp.where(
+        per_item_cnt > 0, per_item_sum / jnp.maximum(per_item_cnt, 1.0), 0.0
+    )
 
 
 def inner_masked_segmentation_loss(
@@ -256,12 +277,4 @@ def inner_masked_segmentation_loss(
     batch (ref SPH3D_s3dis.py:116-133: per-item ``reduce_mean`` guarded by a
     zero-size cond, accumulated with ``+=`` — i.e. a sum, not a mean, over
     batch items)."""
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
-    inner = (inner_label > 0).astype(nll.dtype)
-    per_item_sum = jnp.sum(nll * inner, axis=1)
-    per_item_cnt = jnp.sum(inner, axis=1)
-    per_item_mean = jnp.where(
-        per_item_cnt > 0, per_item_sum / jnp.maximum(per_item_cnt, 1.0), 0.0
-    )
-    return jnp.sum(per_item_mean)
+    return jnp.sum(inner_masked_item_loss(logits, labels, inner_label))

@@ -107,6 +107,7 @@ def fit(
         logger.log(f"**** EPOCH {epoch:03d} ****")
         total_correct = total_seen = 0
         loss_sum = 0.0
+        epoch_loss_sum = 0.0
         batch_idx = 0
         train_time = 0.0
         for batch in train_batches(epoch):
@@ -120,6 +121,7 @@ def fit(
             total_correct += c
             total_seen += s
             loss_sum += loss
+            epoch_loss_sum += loss
             batch_idx += 1
             if batch_idx % log_every == 0:
                 logger.log(f" ---- batch: {batch_idx:03d} ----")
@@ -137,7 +139,7 @@ def fit(
             logger.scalars(
                 epoch=epoch,
                 step=int(state.step),
-                train_loss=loss,
+                train_loss=epoch_loss_sum / batch_idx,
                 ms_per_batch=1000 * train_time / batch_idx,
             )
 
@@ -145,22 +147,30 @@ def fit(
             logger.log(f"---- EPOCH {epoch:03d} EVALUATION ----")
             ev_correct = ev_seen = 0
             ev_loss = 0.0
+            ev_items = 0
             ev_batches = 0
             for batch in eval_batches():
                 batch, bsize = pad_batch(batch, batch_size)
                 metrics = eval_step(state, batch)
-                ev_loss += float(metrics["loss"])
+                if "item_loss" in metrics:
+                    # Aggregate over real items only — padded repeats of the
+                    # last item would otherwise bias short final batches.
+                    ev_loss += float(np.asarray(metrics["item_loss"])[:bsize].sum())
+                    ev_items += bsize
+                else:
+                    ev_loss += float(metrics["loss"])
+                    ev_items += 1
                 logits = np.asarray(metrics["logits"])
                 c, s = _batch_accuracy(logits, batch, bsize)
                 ev_correct += c
                 ev_seen += s
                 ev_batches += 1
             if ev_batches:
-                logger.log(f"eval mean loss: {ev_loss / ev_batches:f}")
+                logger.log(f"eval mean loss: {ev_loss / max(1, ev_items):f}")
                 logger.log(f"eval accuracy: {ev_correct / max(1, ev_seen):f}")
                 logger.scalars(
                     epoch=epoch,
-                    eval_loss=ev_loss / ev_batches,
+                    eval_loss=ev_loss / max(1, ev_items),
                     eval_accuracy=ev_correct / max(1, ev_seen),
                 )
 

@@ -60,6 +60,9 @@ class StepFactory:
         replicated state and batch sharded over the 'data' axis.
       model_kwargs_keys: batch keys forwarded positionally to the model
         after `points` (e.g. ('cls_label',) for the onehot ShapeNet model).
+      item_loss_fn: optional (logits, batch) -> (B,) per-item data loss,
+        returned by eval steps so callers can aggregate over *real* (unpadded)
+        items only.
     """
 
     model: Any
@@ -68,13 +71,18 @@ class StepFactory:
     weight_decay: float | None = None
     mesh: Mesh | None = None
     model_kwargs_keys: tuple[str, ...] = ()
+    item_loss_fn: LossFn | None = None
 
     def init_state(self, rng, sample_batch) -> TrainState:
         """Initialize params/BN stats/optimizer state from a sample batch
         (replicated onto the mesh when one is configured)."""
         extra = [sample_batch[k] for k in self.model_kwargs_keys]
+        k_params, k_sample = jax.random.split(rng)
         variables = self.model.init(
-            rng, sample_batch["points"], *extra, train=False
+            {"params": k_params, "sample": k_sample},
+            sample_batch["points"],
+            *extra,
+            train=False,
         )
         state = TrainState.create(variables, self.tx)
         if self.mesh is not None:
@@ -84,7 +92,15 @@ class StepFactory:
     def _losses(self, params, batch_stats, batch, rng, train):
         extra = [batch[k] for k in self.model_kwargs_keys]
         variables = {"params": params, "batch_stats": batch_stats}
-        rngs = {"dropout": rng} if train else None
+        # IDS/random subsampling draws a "sample" rng even at eval
+        # (ref tf_sample.py:27-49 are plain graph ops, live in both modes);
+        # supplying an extra stream is harmless for FPS configs.
+        k_drop, k_sample = jax.random.split(rng)
+        rngs = (
+            {"dropout": k_drop, "sample": k_sample}
+            if train
+            else {"sample": rng}
+        )
         if train:
             logits, mutated = self.model.apply(
                 variables,
@@ -97,7 +113,7 @@ class StepFactory:
             new_stats = mutated["batch_stats"]
         else:
             logits = self.model.apply(
-                variables, batch["points"], *extra, train=False
+                variables, batch["points"], *extra, train=False, rngs=rngs
             )
             new_stats = batch_stats
         data_loss = self.loss_fn(logits, batch)
@@ -144,16 +160,22 @@ class StepFactory:
             total, (data_loss, logits, _) = self._losses(
                 state.params, state.batch_stats, batch, jax.random.key(0), False
             )
-            return {"loss": total, "data_loss": data_loss, "logits": logits}
+            out = {"loss": total, "data_loss": data_loss, "logits": logits}
+            if self.item_loss_fn is not None:
+                out["item_loss"] = self.item_loss_fn(logits, batch)
+            return out
 
         if self.mesh is None:
             return jax.jit(step)
         rep = replicated(self.mesh)
         data = batch_sharding(self.mesh)
+        out_sh = {"loss": rep, "data_loss": rep, "logits": data}
+        if self.item_loss_fn is not None:
+            out_sh["item_loss"] = data
         return jax.jit(
             step,
             in_shardings=(rep, data),
-            out_shardings={"loss": rep, "data_loss": rep, "logits": data},
+            out_shardings=out_sh,
         )
 
 
@@ -162,7 +184,10 @@ def classification_step_factory(
 ) -> StepFactory:
     """StepFactory with the mean softmax-CE classification loss
     (ref SPH3D_modelnet.py:112-119)."""
-    from sph3d_gcn_tpu.models.modelnet import classification_loss
+    from sph3d_gcn_tpu.models.modelnet import (
+        classification_item_loss,
+        classification_loss,
+    )
 
     return StepFactory(
         model=model,
@@ -170,6 +195,9 @@ def classification_step_factory(
         loss_fn=lambda logits, batch: classification_loss(logits, batch["label"]),
         weight_decay=weight_decay,
         mesh=mesh,
+        item_loss_fn=lambda logits, batch: classification_item_loss(
+            logits, batch["label"]
+        ),
     )
 
 
@@ -180,7 +208,9 @@ def segmentation_step_factory(
     """StepFactory with the per-point CE loss; ``inner_masked`` selects the
     S3DIS/ScanNet inner-point masked variant (ref SPH3D_s3dis.py:116-133)."""
     from sph3d_gcn_tpu.models.segmentation import (
+        inner_masked_item_loss,
         inner_masked_segmentation_loss,
+        segmentation_item_loss,
         segmentation_loss,
     )
 
@@ -188,8 +218,14 @@ def segmentation_step_factory(
         loss_fn = lambda logits, batch: inner_masked_segmentation_loss(
             logits, batch["label"], batch["inner_label"]
         )
+        item_loss_fn = lambda logits, batch: inner_masked_item_loss(
+            logits, batch["label"], batch["inner_label"]
+        )
     else:
         loss_fn = lambda logits, batch: segmentation_loss(logits, batch["label"])
+        item_loss_fn = lambda logits, batch: segmentation_item_loss(
+            logits, batch["label"]
+        )
     return StepFactory(
         model=model,
         tx=tx,
@@ -197,4 +233,5 @@ def segmentation_step_factory(
         weight_decay=weight_decay,
         mesh=mesh,
         model_kwargs_keys=model_kwargs_keys,
+        item_loss_fn=item_loss_fn,
     )

@@ -218,3 +218,48 @@ def test_coverage_eval_min_count_and_augment():
     # every point sampled at least min_count times => logit sums >= 3*2 per hit
     counts = logits[:, 0]  # each hit adds 1 (raw) + 1 (augmented)
     assert counts.min() >= 2 * 3
+
+
+def test_eval_loss_excludes_padded_rows(tmp_path):
+    # 3 eval items at batch_size=2: the final batch is padded by repeating
+    # its last item; the logged eval_loss must average per-item losses over
+    # the 3 REAL items only.
+    import json
+
+    cfg = _tiny_cfg()
+    model = SPH3DSceneSeg(cfg)
+    tx = make_optimizer("adam", 0.001)
+    fac = segmentation_step_factory(model, tx, inner_masked=True)
+    rng = np.random.default_rng(7)
+
+    def make_batches(sizes):
+        out = []
+        for b in sizes:
+            out.append({
+                "points": rng.standard_normal((b, 64, 9)).astype(np.float32),
+                "label": rng.integers(0, 4, (b, 64)).astype(np.int32),
+                "inner_label": np.ones((b, 64), np.int32),
+            })
+        return out
+
+    train = make_batches([2])
+    evals = make_batches([2, 1])  # short final batch
+    log_dir = str(tmp_path / "log")
+    state = fit(fac, lambda e: iter(train), lambda: iter(evals),
+                batch_size=2, num_epochs=1, log_dir=log_dir)
+
+    # Recompute the unbiased value directly from the eval step.
+    ev = fac.eval_step()
+    items = []
+    for b in evals:
+        padded, bsize = pad_batch(b, 2)
+        out = ev(state, padded)
+        items.extend(np.asarray(out["item_loss"])[:bsize].tolist())
+    expected = float(np.mean(items))
+
+    logged = [
+        json.loads(line)
+        for line in open(f"{log_dir}/metrics.jsonl")
+        if "eval_loss" in line
+    ]
+    np.testing.assert_allclose(logged[-1]["eval_loss"], expected, rtol=1e-5)

@@ -146,3 +146,39 @@ def test_multislice_mesh_train_step():
     step = fac.train_step()
     state, metrics = step(state, batch, jax.random.key(1))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_ids_sampling_trains_and_evals():
+    # IDS/random sampling are first-class config options in the reference
+    # (ref modelnet_config.py `sample='FPS' #{'FPS','IDS','random'}`,
+    # tf_sample.py:27-49); the step factories must thread the "sample" rng.
+    import dataclasses
+
+    cfg = dataclasses.replace(modelnet_config(num_input=256), sample="IDS")
+    model = SPH3DModelNet(cfg)
+    tx = make_optimizer("adam", 0.001)
+    fac = classification_step_factory(model, tx, weight_decay=cfg.weight_decay)
+    batch = _cls_batch(b=2, n=256)
+    state = fac.init_state(jax.random.key(0), batch)
+    step = fac.train_step()
+    state, metrics = step(state, batch, jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
+    ev = fac.eval_step()
+    out = ev(state, batch)
+    assert np.isfinite(float(out["loss"]))
+    assert out["item_loss"].shape == (2,)
+
+
+def test_eval_item_loss_matches_scalar():
+    cfg = modelnet_config(num_input=256)
+    model = SPH3DModelNet(cfg)
+    tx = make_optimizer("adam", 0.001)
+    fac = classification_step_factory(model, tx)
+    batch = _cls_batch(b=4, n=256)
+    state = fac.init_state(jax.random.key(0), batch)
+    out = fac.eval_step()(state, batch)
+    np.testing.assert_allclose(
+        float(np.asarray(out["item_loss"]).mean()),
+        float(out["data_loss"]),
+        rtol=1e-5,
+    )
