@@ -52,7 +52,7 @@ def main():
 
     import jax
 
-    from sph3d_gcn_tpu.data.datasets import load_scene_blocks, pad_batch
+    from sph3d_gcn_tpu.data.datasets import load_scene_blocks
     from sph3d_gcn_tpu.data.merge import (
         SceneAccumulator,
         merge_scene_predictions,
@@ -61,7 +61,7 @@ def main():
     from sph3d_gcn_tpu.models import SPH3DRueMonge, SPH3DSceneSeg
     from sph3d_gcn_tpu.train import make_optimizer, segmentation_step_factory
     from sph3d_gcn_tpu.train.checkpoint import Checkpointer, load_config_snapshot
-    from sph3d_gcn_tpu.train.eval import coverage_eval_block
+    from sph3d_gcn_tpu.train.eval import coverage_eval_blocks
 
     cfg = load_config_snapshot(args.log_dir)
     model = (
@@ -94,26 +94,31 @@ def main():
     state = Checkpointer(args.log_dir).restore_variables(state, args.epoch)
     eval_step = factory.eval_step()
 
-    def forward(points):
+    def forward(points, _ids):
         batch = {
             "points": points.astype(np.float32),
             "label": np.zeros(points.shape[:2], np.int32),
             "inner_label": np.ones(points.shape[:2], np.int32),
         }
-        batch, bsize = pad_batch(batch, args.batch_size)
-        return np.asarray(eval_step(state, batch)["logits"])[:bsize]
+        return np.asarray(eval_step(state, batch)["logits"])
 
-    # ---- per-block coverage voting (ref evaluate_s3dis_with_overlap.py) ----
+    # ---- coverage voting, batched ACROSS blocks (each forward mixes
+    # resamples of batch_size different blocks; the reference pads one
+    # block per run, ref evaluate_s3dis_with_overlap.py:270-302) ----
     rng = np.random.default_rng(0)
     per_scene: dict[str, list] = {}
     block_acc = SceneAccumulator(num_cls=cfg.num_cls)
     out_dir = os.path.join(args.log_dir, "block_results")
     if args.save_blocks:
         os.makedirs(out_dir, exist_ok=True)
-    for i, blk in enumerate(blocks):
-        logits = coverage_eval_block(
-            forward, blk.points, blk.inner, cfg.num_input, rng
-        )
+    all_logits = coverage_eval_blocks(
+        forward,
+        [(blk.points, blk.inner) for blk in blocks],
+        cfg.num_input,
+        args.batch_size,
+        rng,
+    )
+    for i, (blk, logits) in enumerate(zip(blocks, all_logits)):
         inner = blk.inner == 1
         pred = logits.argmax(-1)
         block_acc.add_scene(pred[inner], blk.label[inner])
@@ -170,6 +175,13 @@ def main():
         print(f"mIoU: {acc.mean_iou:.4f}")
         for c, iou in enumerate(acc.class_iou):
             print(f"class {c:02d} IoU: {iou:.4f}")
+        # Raw counts for cross-fold aggregation (scripts/aggregate_folds.py;
+        # ref post-merging/s3dis_merge.m:96-99 + s3dis_merge_6Areas.m).
+        metric_path = os.path.join(
+            args.log_dir, f"Area_{args.test_area}_metric.npz"
+        )
+        acc.save(metric_path)
+        print(f"saved fold counts to {metric_path}")
 
 
 if __name__ == "__main__":

@@ -40,13 +40,12 @@ def main():
     import jax
 
     from scripts.train_shapenet import NUM_PARTS, SHAPENET_CATEGORIES
-    from sph3d_gcn_tpu.data.datasets import pad_batch
     from sph3d_gcn_tpu.data.prep.shapenet import load_shapenet_records
     from sph3d_gcn_tpu.models import SPH3DShapeNet, SPH3DShapeNetOnehot
     from sph3d_gcn_tpu.train import make_optimizer, segmentation_step_factory
     from sph3d_gcn_tpu.train.checkpoint import Checkpointer, load_config_snapshot
     from sph3d_gcn_tpu.train.eval import (
-        coverage_eval_block,
+        coverage_eval_blocks,
         shapenet_eval_augment,
     )
     from sph3d_gcn_tpu.train.metrics import shape_iou
@@ -94,25 +93,33 @@ def main():
     per_class: dict[int, list[float]] = {}
     out_dir = os.path.join(args.log_dir, "pred")
     os.makedirs(out_dir, exist_ok=True)
-    for i, rec in enumerate(records):
+
+    def forward(points, ids):
+        batch = {
+            "points": points.astype(np.float32),
+            "label": np.zeros(points.shape[:2], np.int32),
+            "cls_label": np.array(
+                [records[i]["cls_label"] for i in ids], np.int32
+            ),
+        }
+        return np.asarray(eval_step(state, batch)["logits"])
+
+    # >10-sample coverage with paired raw+augmented passes
+    # (ref evaluate_shapenet.py:228-247), batched ACROSS shapes so every
+    # forward runs a full batch.
+    all_logits = coverage_eval_blocks(
+        forward,
+        [(rec["xyz"], np.ones(len(rec[label_key]), np.int32))
+         for rec in records],
+        cfg.num_input,
+        args.batch_size,
+        rng,
+        min_count=11,
+        augment_fn=shapenet_eval_augment,
+    )
+    for i, (rec, logits) in enumerate(zip(records, all_logits)):
         cls = rec["cls_label"]
-
-        def forward(points):
-            batch = {
-                "points": points.astype(np.float32),
-                "label": np.zeros(points.shape[:2], np.int32),
-                "cls_label": np.full((points.shape[0],), cls, np.int32),
-            }
-            batch, bsize = pad_batch(batch, args.batch_size)
-            return np.asarray(eval_step(state, batch)["logits"])[:bsize]
-
         label = rec[label_key]
-        # >10-sample coverage with paired raw+augmented passes
-        # (ref evaluate_shapenet.py:228-247)
-        logits = coverage_eval_block(
-            forward, rec["xyz"], np.ones_like(label), cfg.num_input, rng,
-            min_count=11, augment_fn=shapenet_eval_augment,
-        )
         pred = logits.argmax(-1)
         if args.onehot:
             part_ids = np.unique(rec["seg_label"])

@@ -32,6 +32,8 @@ def main():
     parser.add_argument("--batch_size", type=int, default=16)
     parser.add_argument("--top", type=int, default=30)
     parser.add_argument("--platform", default=None)
+    parser.add_argument("--fast", action="store_true",
+                        help="profile the fast (bf16 + windowed) config")
     args = parser.parse_args()
     if args.platform:
         import jax
@@ -51,18 +53,20 @@ def main():
     rng = np.random.default_rng(0)
     b = args.batch_size
     if args.model == "modelnet":
-        cfg = modelnet_config()
+        from bench import surface_clouds
+
+        cfg = modelnet_config(fast=args.fast)
         model = SPH3DModelNet(cfg)
         factory = classification_step_factory(
             model, make_optimizer("adam", 1e-3), weight_decay=cfg.weight_decay
         )
         batch = {
-            "points": rng.standard_normal((b, cfg.num_input, 3)).astype(np.float32),
+            "points": surface_clouds(rng, b, cfg.num_input),
             "label": rng.integers(0, cfg.num_cls, (b,)).astype(np.int32),
         }
         tag = "SPH3DModelNet"
     else:
-        cfg = s3dis_config()
+        cfg = s3dis_config(fast=args.fast)
         model = SPH3DSceneSeg(cfg)
         factory = segmentation_step_factory(
             model, make_optimizer("adam", 1e-3), inner_masked=True

@@ -36,16 +36,19 @@ def main():
                         help="ref train_s3dis.py:226 uses 1e-4")
     parser.add_argument("--num_input", type=int, default=8192)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--num_devices", type=int, default=None,
+                        help="data-parallel device count (default: all "
+                             "available when >1); with --platform cpu, "
+                             "forces a virtual CPU pool of this size")
     parser.add_argument("--platform", default=None,
                         help="force a jax backend (e.g. cpu); the environment's "
                              "sitecustomize may pre-register a TPU platform, so "
                              "env vars alone cannot override it")
     args = parser.parse_args()
 
-    if args.platform:
-        import jax
+    from sph3d_gcn_tpu.train.cli import configure_backend, data_mesh
 
-        jax.config.update("jax_platforms", args.platform)
+    configure_backend(args.platform, args.num_devices)
 
     from sph3d_gcn_tpu.configs import (
         ruemonge2014_config,
@@ -102,8 +105,12 @@ def main():
         args.optimizer, schedule, momentum=args.momentum,
         adam_epsilon=args.adam_eps,
     )
+    mesh = data_mesh(args.num_devices, args.batch_size)
+    if mesh is not None:
+        print(f"data-parallel mesh: {mesh.devices.shape[0]} devices")
     factory = segmentation_step_factory(
-        model, tx, weight_decay=cfg.weight_decay, inner_masked=inner_masked
+        model, tx, weight_decay=cfg.weight_decay, inner_masked=inner_masked,
+        mesh=mesh,
     )
 
     train_files = [line.rstrip() for line in open(train_list)]

@@ -40,16 +40,19 @@ def main():
     parser.add_argument("--momentum", type=float, default=0.9)
     parser.add_argument("--decay_rate", type=float, default=0.7)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--num_devices", type=int, default=None,
+                        help="data-parallel device count (default: all "
+                             "available when >1); with --platform cpu, "
+                             "forces a virtual CPU pool of this size")
     parser.add_argument("--platform", default=None,
                         help="force a jax backend (e.g. cpu); the environment's "
                              "sitecustomize may pre-register a TPU platform, so "
                              "env vars alone cannot override it")
     args = parser.parse_args()
 
-    if args.platform:
-        import jax
+    from sph3d_gcn_tpu.train.cli import configure_backend, data_mesh
 
-        jax.config.update("jax_platforms", args.platform)
+    configure_backend(args.platform, args.num_devices)
     if not args.onehot and args.category is None:
         parser.error("--category is required unless --onehot")
 
@@ -102,9 +105,13 @@ def main():
         args.learning_rate, args.batch_size, decay_step, args.decay_rate
     )
     tx = make_optimizer(args.optimizer, schedule, momentum=args.momentum)
+    mesh = data_mesh(args.num_devices, args.batch_size)
+    if mesh is not None:
+        print(f"data-parallel mesh: {mesh.devices.shape[0]} devices")
     factory = segmentation_step_factory(
         model, tx, weight_decay=cfg.weight_decay,
         model_kwargs_keys=("cls_label",) if args.onehot else (),
+        mesh=mesh,
     )
 
     def train_batches(epoch):

@@ -1,10 +1,28 @@
 """Per-dataset architecture configs (counterparts of the reference's
-`*_config.py` modules, SURVEY.md §2.4)."""
+`*_config.py` modules, SURVEY.md §2.4).
+
+Each factory takes ``fast=True`` to enable the TPU throughput mode:
+bfloat16 activations, per-cloud spatial sorting and the locality-windowed
+edge engine (see ops/windowed.py — numerically a layout change plus bf16,
+never a semantics change beyond the input reordering). The default
+(``fast=False``) is the float32 reference-parity mode.
+"""
+
+import dataclasses
 
 from sph3d_gcn_tpu.configs.base import SPH3DConfig
 
 
-def modelnet_config(num_input: int = 10000) -> SPH3DConfig:
+def _fast_mode(cfg: SPH3DConfig, windows: tuple[int, ...]) -> SPH3DConfig:
+    return dataclasses.replace(
+        cfg,
+        compute_dtype="bfloat16",
+        spatial_sort=True,
+        windows=windows[: len(cfg.num_sample)],
+    )
+
+
+def modelnet_config(num_input: int = 10000, fast: bool = False) -> SPH3DConfig:
     """ref modelnet40_cls/modelnet_config.py:1-37."""
     num_sample = tuple(
         num_input // 4 ** (i + 1)
@@ -12,7 +30,7 @@ def modelnet_config(num_input: int = 10000) -> SPH3DConfig:
         if num_input // 4 ** (i + 1) > 100
     )
     num_levels = len(num_sample)
-    return SPH3DConfig(
+    cfg = SPH3DConfig(
         num_input=num_input,
         num_cls=40,
         mlp=32,
@@ -32,12 +50,19 @@ def modelnet_config(num_input: int = 10000) -> SPH3DConfig:
         global_channels=512,
         global_multiplier=2,
     )
+    if fast:
+        # Conv-edge spans measured end-to-end on axis-sorted unit-sphere
+        # surfaces (1298 / 798 / 512 rows per level incl. the 128-row tile
+        # quantum) plus overflow margin; pool windows derive from these
+        # (SPH3DConfig.pool_window).
+        cfg = _fast_mode(cfg, (1536, 1024, 640))
+    return cfg
 
 
-def shapenet_config(num_input: int = 2048) -> SPH3DConfig:
+def shapenet_config(num_input: int = 2048, fast: bool = False) -> SPH3DConfig:
     """ref shapenet_seg/shapenet_config.py:1-24 (num_cls is per-category and
     passed to the model separately)."""
-    return SPH3DConfig(
+    cfg = SPH3DConfig(
         num_input=num_input,
         num_cls=50,  # onehot variant; per-category nets pass their own
         mlp=64,
@@ -55,15 +80,20 @@ def shapenet_config(num_input: int = 2048) -> SPH3DConfig:
         with_bn=True,
         with_bias=False,
     )
+    if fast:
+        cfg = _fast_mode(cfg, (512, 512, 512, 384))
+    return cfg
 
 
-def _scene_seg_config(num_cls: int, num_input: int = 8192) -> SPH3DConfig:
+def _scene_seg_config(
+    num_cls: int, num_input: int = 8192, fast: bool = False
+) -> SPH3DConfig:
     # Reference pyramid at 8192 points; scaled proportionally for smaller
     # inputs (test/debug sizes only — 8192 is the reference setting).
     base = (2048, 768, 384, 128)
     if num_input != 8192:
         base = tuple(max(2, s * num_input // 8192) for s in base)
-    return SPH3DConfig(
+    cfg = SPH3DConfig(
         num_input=num_input,
         num_cls=num_cls,
         mlp=64,
@@ -83,21 +113,33 @@ def _scene_seg_config(num_cls: int, num_input: int = 8192) -> SPH3DConfig:
         # full-size seg models need activation remat to fit 16GB HBM at B=16
         remat_blocks=(num_input >= 4096),
     )
+    if fast:
+        # 1.5m scene blocks with dominant floor/wall planes: the sort axis
+        # is occupancy-chosen (ops/locality.py), worst measured slab ~1100
+        # rows at N=8192, r=0.1, plus margin; scaled by num_input.
+        win = tuple(
+            min(-(-w * num_input // 8192 // 128) * 128, 8192)
+            for w in (1792, 896, 768, 384)
+        )
+        cfg = _fast_mode(cfg, win)
+    return cfg
 
 
-def scannet_config(num_input: int = 8192) -> SPH3DConfig:
+def scannet_config(num_input: int = 8192, fast: bool = False) -> SPH3DConfig:
     """ref scannet_seg/scannet_config.py:1-26."""
-    return _scene_seg_config(num_cls=21, num_input=num_input)
+    return _scene_seg_config(num_cls=21, num_input=num_input, fast=fast)
 
 
-def s3dis_config(num_input: int = 8192) -> SPH3DConfig:
+def s3dis_config(num_input: int = 8192, fast: bool = False) -> SPH3DConfig:
     """ref s3dis_seg/s3dis_config.py:1-26."""
-    return _scene_seg_config(num_cls=13, num_input=num_input)
+    return _scene_seg_config(num_cls=13, num_input=num_input, fast=fast)
 
 
-def ruemonge2014_config(num_input: int = 8192) -> SPH3DConfig:
+def ruemonge2014_config(
+    num_input: int = 8192, fast: bool = False
+) -> SPH3DConfig:
     """ref ruemonge2014_seg/ruemonge2014_config.py:1-26."""
-    return _scene_seg_config(num_cls=7, num_input=num_input)
+    return _scene_seg_config(num_cls=7, num_input=num_input, fast=fast)
 
 
 __all__ = [

@@ -48,6 +48,16 @@ class SPH3DConfig:
     # 'float32' (reference parity) or 'bfloat16' (MXU-native training mode;
     # graph construction and BN statistics stay f32 either way)
     compute_dtype: str = "float32"
+    # Sort each input cloud along a per-cloud spatial axis so neighbor
+    # indices cluster into narrow row windows (ops/locality.py). Pure input
+    # permutation — per-point outputs are un-permuted back. Order-dependent
+    # reference semantics (first-K selection, FPS seed) then apply to the
+    # sorted order; disable for checkpoint-parity evaluation.
+    spatial_sort: bool = False
+    # Per-encoder-level row-window widths for the windowed edge engine
+    # (ops/windowed.py); None disables it. Windows are a layout hint only:
+    # an undersized window falls back to the exact plain-gather path.
+    windows: tuple[int, ...] | None = None
     # rematerialize conv blocks in backward (trades ~30% conv FLOPs for
     # activation memory; needed for the 8192-point seg models at batch 16)
     remat_blocks: bool = False
@@ -58,6 +68,39 @@ class SPH3DConfig:
 
         return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
 
+    def enc_window(self, level: int) -> int | None:
+        """Row window for encoder level ``level`` (cloud size N_level)."""
+        return None if self.windows is None else self.windows[level]
+
+    def pool_window(self, level: int) -> int | None:
+        """Row window for the pooling edges of ``level``.
+
+        Pool queries are the SAMPLED points: a 128-row query tile of
+        coarse points spans ~128 * N/S rows of the fine cloud, so the
+        window needs that much extra room beyond the conv window.
+        """
+        w = self.enc_window(level)
+        if w is None:
+            return None
+        n_l = self.num_input if level == 0 else self.num_sample[level - 1]
+        s_l = self.num_sample[level]
+        extra = 128 * (-(-n_l // s_l) - 1)
+        return w + (-(-extra // 128) * 128 if extra else 0)
+
+    def dec_window(self, level: int) -> int | None:
+        """Row window for the decoder pass of original level ``level``.
+
+        Decoder intra/inter edges search the SAMPLED cloud of that level
+        (num_sample[level] points) at the same radius, so the slab holds
+        proportionally fewer rows than the encoder window.
+        """
+        if self.windows is None:
+            return None
+        n_l = self.num_input if level == 0 else self.num_sample[level - 1]
+        s_l = self.num_sample[level]
+        w = -(-self.windows[level] * s_l // n_l)
+        return -(-w // 128) * 128
+
     @property
     def bin_size(self) -> int:
         """n*p*q + 1, bin 0 reserved for the self-loop
@@ -66,6 +109,11 @@ class SPH3DConfig:
 
     def __post_init__(self) -> None:
         num_levels = len(self.num_sample)
+        if self.windows is not None and len(self.windows) != num_levels:
+            raise ValueError(
+                f"windows must have {num_levels} entries, got "
+                f"{len(self.windows)}"
+            )
         for field in ("radius", "nn_uplimit", "channels", "multiplier"):
             if len(getattr(self, field)) != num_levels:
                 raise ValueError(

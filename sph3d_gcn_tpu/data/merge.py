@@ -70,6 +70,43 @@ class SceneAccumulator:
     def mean_acc(self) -> float:
         return float(np.mean(self.class_acc))
 
+    def save(self, path: str) -> None:
+        """Persist the raw counts (the ref saves Area_*_metric.mat with the
+        same five fields for 6-fold aggregation, s3dis_merge.m:96-99)."""
+        np.savez(
+            path,
+            total_intersect=self.total_intersect,
+            total_union=self.total_union,
+            total_seen=self.total_seen,
+            merged_correct=self.merged_correct,
+            merged_seen=self.merged_seen,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "SceneAccumulator":
+        data = np.load(path)
+        return cls(
+            num_cls=len(data["total_intersect"]),
+            total_intersect=data["total_intersect"].astype(np.int64),
+            total_union=data["total_union"].astype(np.int64),
+            total_seen=data["total_seen"].astype(np.int64),
+            merged_correct=int(data["merged_correct"]),
+            merged_seen=int(data["merged_seen"]),
+        )
+
+    def merge(self, other: "SceneAccumulator") -> None:
+        """Accumulate another fold's counts
+        (ref post-merging/s3dis_merge_6Areas.m:15-25)."""
+        if other.num_cls != self.num_cls:
+            raise ValueError(
+                f"class count mismatch: {other.num_cls} vs {self.num_cls}"
+            )
+        self.total_intersect += other.total_intersect
+        self.total_union += other.total_union
+        self.total_seen += other.total_seen
+        self.merged_correct += other.merged_correct
+        self.merged_seen += other.merged_seen
+
 
 def normalized_confidence(logits: np.ndarray) -> np.ndarray:
     """L2-normalize logit rows then softmax (ref s3dis_merge.m:45-47)."""

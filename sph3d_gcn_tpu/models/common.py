@@ -49,6 +49,7 @@ class SeparableConvBlock(fnn.Module):
     bin_size: int
     depth_multiplier: tuple[int, ...]
     config: SPH3DConfig
+    window: int | None = None
 
     @fnn.compact
     def __call__(
@@ -71,6 +72,7 @@ class SeparableConvBlock(fnn.Module):
                 with_bn=cfg.with_bn,
                 with_bias=cfg.with_bias,
                 dtype=cfg.dtype,
+                window=self.window,
                 name=f"_{i + 1}",
             )(net, nbh, filt_index, train)
         return net

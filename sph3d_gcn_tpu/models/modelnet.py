@@ -28,6 +28,7 @@ from sph3d_gcn_tpu.nn.layers import (
     pool3d,
 )
 from sph3d_gcn_tpu.ops.kernelbin import spherical_kernel
+from sph3d_gcn_tpu.ops.locality import permute_points, spatial_sort
 
 _GLOBAL_RADIUS = 100.0  # ref SPH3D_modelnet.py:86 (connects all points)
 _GLOBAL_KERNEL = (8, 2, 1)  # ref SPH3D_modelnet.py:89-90, binSize 17
@@ -44,6 +45,13 @@ class SPH3DModelNet(fnn.Module):
         assert points.shape[1] == cfg.num_input, (
             f"expected {cfg.num_input} input points, got {points.shape[1]}"
         )
+
+        if cfg.spatial_sort:
+            # Axis-sort each cloud so neighbor indices cluster into narrow
+            # windows (ops/locality.py); classification outputs are
+            # permutation-independent, nothing to un-permute.
+            perm, _ = spatial_sort(points, cfg.radius[0])
+            points = permute_points(points, perm)
 
         if cfg.normalize:
             points = normalize_unit_sphere(points)
@@ -83,13 +91,21 @@ class SPH3DModelNet(fnn.Module):
                 bin_size=cfg.bin_size,
                 depth_multiplier=cfg.multiplier[level],
                 config=cfg,
+                window=cfg.enc_window(level),
                 name=f"conv{level + 1}",
             )(net, nbh, filt_idx, train)
 
             if cfg.num_sample[level] > 1:
+                if cfg.spatial_sort and sample_idx is not None:
+                    # Ascending order keeps the coarse cloud axis-sorted
+                    # (a subsequence of a sorted sequence).
+                    sample_idx = jnp.sort(sample_idx, axis=1)
                 xyz = gather_points(xyz, sample_idx)
                 inter = gather_neighborhood(nbh, sample_idx)
-                net = pool3d(net, inter, method=cfg.pool_method)
+                net = pool3d(
+                    net, inter, method=cfg.pool_method,
+                    window=cfg.pool_window(level),
+                )
 
             # Multi-scale global max-pool feature (ref SPH3D_modelnet.py:82-83).
             global_feat.append(jnp.max(net, axis=1, keepdims=True))

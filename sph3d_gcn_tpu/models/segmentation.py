@@ -31,8 +31,26 @@ from sph3d_gcn_tpu.nn.graph import (
     gather_points,
 )
 from sph3d_gcn_tpu.nn.layers import PointwiseConv3d, pool3d, unpool3d
+from sph3d_gcn_tpu.ops.locality import permute_points, spatial_sort
 
 NUM_SHAPENET_CATEGORIES = 16  # ref models/SPH3D_shapenet_onehot.py:10
+
+
+def _maybe_sort(cfg: SPH3DConfig, points: jax.Array):
+    """Axis-sort the cloud for the windowed engine (cfg.spatial_sort).
+
+    Returns (sorted_points, rank) where ``rank`` un-permutes per-point
+    outputs back to the caller's input order (None when sorting is off) —
+    the model's external contract is order-preserving either way.
+    """
+    if not cfg.spatial_sort:
+        return points, None
+    perm, rank = spatial_sort(points, cfg.radius[0])
+    return permute_points(points, perm), rank
+
+
+def _maybe_unsort(logits: jax.Array, rank):
+    return logits if rank is None else permute_points(logits, rank)
 
 
 class SegEncoderDecoder(fnn.Module):
@@ -86,15 +104,22 @@ class SegEncoderDecoder(fnn.Module):
                 bin_size=cfg.bin_size,
                 depth_multiplier=cfg.multiplier[level],
                 config=cfg,
+                window=cfg.enc_window(level),
                 name=f"conv{level + 1}",
             )(net, nbh, filt_idx, train)
 
             encoder.append(net)
             if cfg.num_sample[level] > 1:
+                if cfg.spatial_sort and sample_idx is not None:
+                    # Ascending order keeps the coarse cloud axis-sorted.
+                    sample_idx = jnp.sort(sample_idx, axis=1)
                 xyz = gather_points(xyz, sample_idx)
                 xyz_layers.append(xyz)
                 inter = gather_neighborhood(nbh, sample_idx)
-                net = pool3d(net, inter, method=cfg.pool_method)
+                net = pool3d(
+                    net, inter, method=cfg.pool_method,
+                    window=cfg.pool_window(level),
+                )
 
         # Decoder indexes reversed *copies* (the reference reverses the
         # config lists in place, ref SPH3D_s3dis.py:79-84).
@@ -113,14 +138,20 @@ class SegEncoderDecoder(fnn.Module):
                 xyz_coarse, xyz_fine, radius_r[level], nn_uplimit_r[level],
                 kernel=cfg.kernel,
             )
+            # Decoder edges search the SAMPLED cloud of the mirrored
+            # encoder level — its proportionally smaller window applies.
+            dec_win = cfg.dec_window(num_levels - 1 - level)
             net = SeparableConvBlock(
                 list_channels=channels_r[level],
                 bin_size=cfg.bin_size,
                 depth_multiplier=multiplier_r[level],
                 config=cfg,
+                window=dec_win,
                 name=f"deconv{level + 1}",
             )(net, intra, filt_idx, train)
-            net = unpool3d(net, inter, method=cfg.unpool_method)
+            net = unpool3d(
+                net, inter, method=cfg.unpool_method, window=dec_win
+            )
             net = jnp.concatenate((net, encoder[level]), axis=2)
 
         if self.include_input_skip:
@@ -147,6 +178,7 @@ class SPH3DShapeNet(fnn.Module):
     @fnn.compact
     def __call__(self, points: jax.Array, train: bool = False) -> jax.Array:
         cfg = self.config
+        points, rank = _maybe_sort(cfg, points)
         xyz = points[:, :, 0:3]
         net = points
         if cfg.normalize:
@@ -154,13 +186,14 @@ class SPH3DShapeNet(fnn.Module):
         net = SegEncoderDecoder(cfg, include_input_skip=True, name="backbone")(
             net, xyz, train
         )
-        return PointwiseConv3d(
+        net = PointwiseConv3d(
             self.num_cls,
             with_bn=False,
             with_bias=cfg.with_bias,
             activation=None,
             name="logits",
         )(net, train)
+        return _maybe_unsort(net, rank)
 
 
 class SPH3DShapeNetOnehot(fnn.Module):
@@ -176,6 +209,7 @@ class SPH3DShapeNetOnehot(fnn.Module):
         self, points: jax.Array, cls_label: jax.Array, train: bool = False
     ) -> jax.Array:
         cfg = self.config
+        points, rank = _maybe_sort(cfg, points)
         xyz = points[:, :, 0:3]
         net = SegEncoderDecoder(cfg, include_input_skip=True, name="backbone")(
             points, xyz, train
@@ -183,13 +217,14 @@ class SPH3DShapeNetOnehot(fnn.Module):
         onehot = jax.nn.one_hot(cls_label, NUM_SHAPENET_CATEGORIES, dtype=net.dtype)
         onehot = jnp.tile(onehot[:, None, :], (1, net.shape[1], 1))
         net = jnp.concatenate((net, onehot), axis=2)
-        return PointwiseConv3d(
+        net = PointwiseConv3d(
             self.num_cls,
             with_bn=False,
             with_bias=cfg.with_bias,
             activation=None,
             name="logits",
         )(net, train)
+        return _maybe_unsort(net, rank)
 
 
 class SPH3DSceneSeg(fnn.Module):
@@ -202,19 +237,21 @@ class SPH3DSceneSeg(fnn.Module):
     @fnn.compact
     def __call__(self, points: jax.Array, train: bool = False) -> jax.Array:
         cfg = self.config
+        points, rank = _maybe_sort(cfg, points)
         xyz = points[:, :, 0:3]
         norm_xyz = normalize_xy_center_z_floor(xyz) if cfg.normalize else xyz
         net = jnp.concatenate((norm_xyz, points[:, :, 6:]), axis=2)
         net = SegEncoderDecoder(cfg, include_input_skip=False, name="backbone")(
             net, xyz, train
         )
-        return PointwiseConv3d(
+        net = PointwiseConv3d(
             cfg.num_cls,
             with_bn=False,
             with_bias=cfg.with_bias,
             activation=None,
             name="logits",
         )(net, train)
+        return _maybe_unsort(net, rank)
 
 
 class SPH3DRueMonge(fnn.Module):
@@ -226,19 +263,21 @@ class SPH3DRueMonge(fnn.Module):
     @fnn.compact
     def __call__(self, points: jax.Array, train: bool = False) -> jax.Array:
         cfg = self.config
+        points, rank = _maybe_sort(cfg, points)
         xyz = points[:, :, 0:3]
         norm_xyz = normalize_mean_center(xyz) if cfg.normalize else xyz
         net = jnp.concatenate((norm_xyz, points[:, :, 3:]), axis=2)
         net = SegEncoderDecoder(cfg, include_input_skip=False, name="backbone")(
             net, xyz, train
         )
-        return PointwiseConv3d(
+        net = PointwiseConv3d(
             cfg.num_cls,
             with_bn=False,
             with_bias=cfg.with_bias,
             activation=None,
             name="logits",
         )(net, train)
+        return _maybe_unsort(net, rank)
 
 
 def segmentation_item_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:

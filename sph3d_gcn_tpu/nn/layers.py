@@ -72,6 +72,7 @@ class SeparableConv3d(fnn.Module):
     with_bn: bool = False
     with_bias: bool = False
     dtype: jnp.dtype = jnp.float32
+    window: int | None = None
 
     @fnn.compact
     def __call__(
@@ -88,7 +89,10 @@ class SeparableConv3d(fnn.Module):
             _glorot,
             (self.bin_size, c_in, self.depth_multiplier),
         )
-        out = depthwise_conv3d(inputs, depthwise, nbh.idx, nbh.count, filt_index)
+        out = depthwise_conv3d(
+            inputs, depthwise, nbh.idx, nbh.count, filt_index,
+            window=self.window,
+        )
 
         kernel = self.param(
             "weights", _glorot, (c_in * self.depth_multiplier, self.num_out_channels)
@@ -172,19 +176,25 @@ class FullyConnected(fnn.Module):
 
 
 def pool3d(
-    inputs: jax.Array, nbh: Neighborhood, method: str = "max"
+    inputs: jax.Array,
+    nbh: Neighborhood,
+    method: str = "max",
+    window: int | None = None,
 ) -> jax.Array:
     """Pooling dispatch (ref utils/sph3gcn_util.py:276-297)."""
     if method == "max":
-        out, _ = max_pool3d(inputs, nbh.idx, nbh.count)
+        out, _ = max_pool3d(inputs, nbh.idx, nbh.count, window=window)
         return out
     if method == "avg":
-        return avg_pool3d(inputs, nbh.idx, nbh.count)
+        return avg_pool3d(inputs, nbh.idx, nbh.count, window=window)
     raise ValueError(f"Unknown pooling method {method!r}")
 
 
 def unpool3d(
-    inputs: jax.Array, nbh: Neighborhood, method: str = "mean"
+    inputs: jax.Array,
+    nbh: Neighborhood,
+    method: str = "mean",
+    window: int | None = None,
 ) -> jax.Array:
     """Unpooling dispatch (ref utils/sph3gcn_util.py:300-325).
 
@@ -193,12 +203,14 @@ def unpool3d(
     distances (ref :317-321).
     """
     if method == "mean":
-        return mean_interpolate(inputs, nbh.idx, nbh.count)
+        return mean_interpolate(inputs, nbh.idx, nbh.count, window=window)
     if method == "weighted":
         eps = 1e-7
         sum_dist = jnp.sum(nbh.dist, axis=-1, keepdims=True)
         weight = (nbh.dist + eps) / (sum_dist + eps)
-        return weighted_interpolate(inputs, weight, nbh.idx, nbh.count)
+        return weighted_interpolate(
+            inputs, weight, nbh.idx, nbh.count, window=window
+        )
     raise ValueError(f"Unknown unpooling method {method!r}")
 
 

@@ -12,6 +12,7 @@ from sph3d_gcn_tpu.ops.sample import (
 )
 from sph3d_gcn_tpu.ops.types import CubeNeighborhood, Neighborhood
 from sph3d_gcn_tpu.ops.unpool import mean_interpolate, weighted_interpolate
+from sph3d_gcn_tpu.ops.windowed import windowed_gather
 
 __all__ = [
     "CubeNeighborhood",
@@ -27,4 +28,5 @@ __all__ = [
     "random_sample",
     "spherical_kernel",
     "weighted_interpolate",
+    "windowed_gather",
 ]

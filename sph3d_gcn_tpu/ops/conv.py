@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from sph3d_gcn_tpu.ops.gather import gather_features
+from sph3d_gcn_tpu.ops.windowed import windowed_gather_padded
 
 # Byte budget for the (B, T, K, max(C, F)) f32 transients of one chunk.
 _CHUNK_BYTES = 64 * 1024 * 1024
@@ -46,7 +47,7 @@ def _chunk_size(batch: int, k: int, width: int, num_out: int) -> int:
     return t
 
 
-@functools.partial(jax.jit, static_argnames=("bin_size",))
+@functools.partial(jax.jit, static_argnames=("bin_size", "window"))
 def depthwise_conv3d(
     inputs: jax.Array,
     filt: jax.Array,
@@ -55,6 +56,7 @@ def depthwise_conv3d(
     bin_index: jax.Array,
     *,
     bin_size: int | None = None,
+    window: int | None = None,
 ) -> jax.Array:
     """Depthwise graph convolution with per-bin filters and neighbor mean.
 
@@ -66,6 +68,11 @@ def depthwise_conv3d(
       nn_count:  (B, M) int32 valid-neighbor counts (>= 1 from sphere query).
       bin_index: (B, M, K) int32 filter-bin ids in [0, F).
       bin_size:  optional override of F (defaults to filt.shape[0]).
+      window:    optional row-window width enabling the locality-windowed
+                 engine (`ops/windowed.py`): the edge gather becomes a
+                 one-hot MXU matmul over sorted-row windows and the VJP a
+                 block-granular scatter — exact (falls back to the plain
+                 gather on window overflow), fast on axis-sorted clouds.
 
     Returns:
       (B, M, C*r) float32 output features.
@@ -84,6 +91,33 @@ def depthwise_conv3d(
         else lax.Precision.HIGHEST
     )
     filt = filt.astype(compute_dtype)
+
+    if window is not None:
+        # Locality-windowed path: one pass over tile-padded arrays; the
+        # only per-edge index op left is inside windowed_gather_padded
+        # (block-granular). Everything else is dense MXU/VPU work.
+        g, valid = windowed_gather_padded(
+            inputs, nn_index, nn_count, window=window
+        )  # (B, M_pad, K, C), zeros on invalid lanes
+        m_pad = g.shape[1]
+        bins_p = jnp.pad(bin_index, ((0, 0), (0, m_pad - num_out), (0, 0)))
+        cnt_p = jnp.pad(nn_count, ((0, 0), (0, m_pad - num_out)))
+        inv_cnt = 1.0 / jnp.maximum(cnt_p, 1).astype(jnp.float32)
+        onehot = bins_p[..., None] == jnp.arange(f_bins)[None, None, None, :]
+        onehot = jnp.where(
+            valid[..., None], onehot, False
+        ).astype(compute_dtype)
+        s = jnp.einsum(
+            "btkf,btkc->btfc", onehot, g,
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        s = s * inv_cnt[..., None, None]
+        out = jnp.einsum(
+            "btfc,fcr->btcr", s.astype(compute_dtype), filt,
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        out = out.reshape(batch, m_pad, c_in * mult).astype(compute_dtype)
+        return out[:, :num_out]
 
     # Chunk over the output-point axis with a PYTHON loop, not lax.map:
     # gathers inside XLA TPU loop bodies fall back to a ~600ns/element

@@ -1,16 +1,27 @@
-"""Spatial locality tools: Morton (z-order) sorting of point clouds.
+"""Spatial locality: axis-sorting point clouds for windowed edge compute.
 
-XLA's TPU gather reads a full (8,128) tile per index, making the neighbor
-feature gathers index-count-bound (~60ms for 10M edges on v5e regardless of
-channel width). The windowed gather in ``ops/windowed.py`` replaces them
-with dense one-hot matmuls over small row windows — which only pays off when
-each query tile's neighbor indices cluster into a narrow row range. Sorting
-both the database and the queries by Morton code provides that locality.
+The windowed engine in `ops/windowed.py` replaces per-edge gathers/scatters
+with dense one-hot matmuls over contiguous sorted-row windows. Sorting each
+cloud along one spatial axis gives a PROVABLE window bound: every neighbor
+within ``radius`` of a query lies in the contiguous row slab
+``|axis - query_axis| < radius`` (a Morton/z-order sort was tried first and
+rejected: its rank jumps across octant boundaries make per-tile spans
+routinely cover >1/3 of the cloud).
 
-Sorting is an internal compute-layout change only: neighbor search, FPS and
-all reference semantics still run in the original point order; layers
-re-rank indices into sorted space and un-permute their outputs
-(permutation gathers are M-sized, not M*K-sized, and therefore cheap).
+The sort axis is chosen PER CLOUD to minimize the worst 2*radius slab
+occupancy (estimated from a 128-bin histogram) — picking the longest axis
+fails on scene blocks where a dominant floor/wall plane concentrates half
+the points in one slab of the long axis.
+
+Sorting is a pure input permutation: models apply it once at the input
+(``spatial_sort`` config flag), run every level on the sorted cloud, and
+un-permute per-point outputs at the end. All reference semantics that
+depend on point order (first-K neighbor selection, FPS seed: SURVEY.md §7)
+are preserved *relative to the model's input order* — the reference itself
+shuffles point order every training step (ref utils/data_util.py:21-31), so
+this reordering is exactly as semantics-preserving as the reference's own
+input pipeline. Disable ``spatial_sort`` for checkpoint-parity evaluation
+against reference logits.
 """
 
 from __future__ import annotations
@@ -18,47 +29,79 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_BITS = 10  # 1024 cells per axis -> 30-bit codes
+_HIST_BINS = 128
 
 
-def morton_codes(xyz: jax.Array) -> jax.Array:
-    """Per-cloud z-order codes: quantize each axis to 2^10 cells over the
-    cloud's bounding box and interleave bits. (B, N, 3) -> (B, N) int32."""
-    mins = jnp.min(xyz, axis=1, keepdims=True)
-    maxs = jnp.max(xyz, axis=1, keepdims=True)
-    scale = jnp.maximum(maxs - mins, 1e-12)
-    q = ((xyz - mins) / scale * (2**_BITS - 1)).astype(jnp.int32)
-    q = jnp.clip(q, 0, 2**_BITS - 1)
+def choose_sort_axis(xyz: jax.Array, radius: float) -> jax.Array:
+    """Pick, per cloud, the axis minimizing the worst 2*radius slab count.
 
-    def spread(v):
-        # Insert two zero bits between each of the 10 bits.
-        v = (v | (v << 16)) & 0x030000FF
-        v = (v | (v << 8)) & 0x0300F00F
-        v = (v | (v << 4)) & 0x030C30C3
-        v = (v | (v << 2)) & 0x09249249
-        return v
-
-    x, y, z = q[..., 0], q[..., 1], q[..., 2]
-    return spread(x) | (spread(y) << 1) | (spread(z) << 2)
-
-
-def spatial_sort(xyz: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Morton argsort per cloud.
+    Args:
+      xyz: (B, N, 3) float32 coordinates.
+      radius: the finest (level-0) search radius.
 
     Returns:
-      perm: (B, N) int32 — sorted_row j holds original point perm[j].
-      rank: (B, N) int32 — original point i lives at sorted row rank[i]
-            (the inverse permutation).
+      (B,) int32 axis ids in {0, 1, 2}.
     """
-    codes = morton_codes(xyz[..., :3])
-    perm = jnp.argsort(codes, axis=1).astype(jnp.int32)
-    return perm, _invert_permutation(perm)
+    xyz = xyz.astype(jnp.float32)
+    mins = jnp.min(xyz, axis=1, keepdims=True)         # (B, 1, 3)
+    maxs = jnp.max(xyz, axis=1, keepdims=True)
+    extent = jnp.maximum(maxs - mins, 1e-12)
+    # 128-bin histogram per (cloud, axis): dense one-hot compare-sum.
+    bins = ((xyz - mins) / extent * _HIST_BINS).astype(jnp.int32)
+    bins = jnp.clip(bins, 0, _HIST_BINS - 1)           # (B, N, 3)
+    iota = jnp.arange(_HIST_BINS, dtype=jnp.int32)
+    hist = jnp.sum(
+        (bins[..., None] == iota).astype(jnp.int32), axis=1
+    )  # (B, 3, HIST)
+    # Slab width in bins for each axis: ceil(2r / binwidth) + 1.
+    width = jnp.ceil(
+        2.0 * radius / (extent[:, 0, :] / _HIST_BINS)
+    ).astype(jnp.int32) + 1                            # (B, 3)
+    width = jnp.clip(width, 1, _HIST_BINS)
+    # Max sliding-window sum of `width` consecutive bins, per axis.
+    csum = jnp.cumsum(hist, axis=-1)                   # (B, 3, HIST)
+    csum = jnp.pad(csum, ((0, 0), (0, 0), (1, 0)))
+    starts = jnp.arange(_HIST_BINS)
+    ends = jnp.minimum(starts[None, None, :] + width[..., None], _HIST_BINS)
+    win = jnp.take_along_axis(csum, ends, axis=-1) - csum[..., :-1]
+    occ = jnp.max(win, axis=-1)                        # (B, 3)
+    return jnp.argmin(occ, axis=-1).astype(jnp.int32)
 
 
-def _invert_permutation(perm: jax.Array) -> jax.Array:
+def spatial_sort(
+    xyz: jax.Array, radius: float
+) -> tuple[jax.Array, jax.Array]:
+    """Per-cloud axis argsort.
+
+    Args:
+      xyz: (B, N, 3+) float coordinates (extra channels ignored).
+      radius: finest search radius (drives the sort-axis choice).
+
+    Returns:
+      perm: (B, N) int32 — sorted row j holds original point perm[j].
+      rank: (B, N) int32 — original point i lands at sorted row rank[i]
+            (the inverse permutation; use it to un-permute outputs).
+    """
+    coords = xyz[..., :3].astype(jnp.float32)
+    axis = choose_sort_axis(coords, radius)            # (B,)
+    key = jnp.take_along_axis(
+        coords, axis[:, None, None].astype(jnp.int32), axis=2
+    )[..., 0]                                          # (B, N)
+    perm = jnp.argsort(key, axis=1).astype(jnp.int32)
+    return perm, invert_permutation(perm)
+
+
+def invert_permutation(perm: jax.Array) -> jax.Array:
+    """(B, N) permutation -> its inverse."""
     n = perm.shape[-1]
     iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), perm.shape)
     rank = jnp.zeros_like(perm)
     return rank.at[
         jnp.arange(perm.shape[0])[:, None], perm
     ].set(iota)
+
+
+def permute_points(x: jax.Array, perm: jax.Array) -> jax.Array:
+    """Reorder the point axis: (B, N, ...) x (B, N) -> (B, N, ...)."""
+    expand = (1,) * (x.ndim - 2)
+    return jnp.take_along_axis(x, perm.reshape(perm.shape + expand), axis=1)

@@ -16,12 +16,15 @@ its autodiff backward is the same uniform scatter as tf_pool3d_gpu.cu:73-90.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 from sph3d_gcn_tpu.ops.chunking import chunk_size, map_output_chunks
 from sph3d_gcn_tpu.ops.gather import gather_features as _gather_features
+from sph3d_gcn_tpu.ops.windowed import windowed_gather_padded
 
 
 def _valid_mask(idx: jax.Array, count: jax.Array) -> jax.Array:
@@ -29,9 +32,38 @@ def _valid_mask(idx: jax.Array, count: jax.Array) -> jax.Array:
     return k_ids < count[..., None]
 
 
-@jax.jit
+def _max_pool_windowed(inputs, nn_index, nn_count, window):
+    """Windowed max pool: masked max over the window matmul gather; the
+    argmax *point* index is recovered arithmetically (min-encoded k*N+idx
+    over the max lanes — first max in k-order, ref tf_pool3d_gpu.cu:26)
+    with no per-element gather."""
+    batch, num_in, c = inputs.shape
+    num_out = nn_index.shape[1]
+    g, valid = windowed_gather_padded(
+        inputs, nn_index, nn_count, window=window
+    )  # (B, M_pad, K, C)
+    m_pad = g.shape[1]
+    idx_p = jnp.pad(nn_index, ((0, 0), (0, m_pad - num_out), (0, 0)))
+    neg_inf = jnp.finfo(g.dtype).min
+    gm = jnp.where(valid[..., None], g, neg_inf)
+    out = jnp.max(gm, axis=2)                        # (B, M_pad, C)
+    k_ids = lax.broadcasted_iota(jnp.int32, idx_p.shape, 2)
+    is_max = (gm == out[:, :, None, :]) & valid[..., None]
+    enc = jnp.where(
+        is_max,
+        (k_ids * num_in + idx_p)[..., None],
+        jnp.iinfo(jnp.int32).max,
+    )
+    max_index = (jnp.min(enc, axis=2) % num_in).astype(jnp.int32)
+    return out[:, :num_out], max_index[:, :num_out]
+
+
+@functools.partial(jax.jit, static_argnames=("window",))
 def max_pool3d(
-    inputs: jax.Array, nn_index: jax.Array, nn_count: jax.Array
+    inputs: jax.Array,
+    nn_index: jax.Array,
+    nn_count: jax.Array,
+    window: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Max pooling over neighborhoods.
 
@@ -51,6 +83,8 @@ def max_pool3d(
        max_index (B, M, C) int32 — the *input point* index of the max, as the
        reference returns (ref tf_pool3d.cpp / tf_pool3d_gpu.cu:5-34)).
     """
+    if window is not None:
+        return _max_pool_windowed(inputs, nn_index, nn_count, window)
     batch, num_out, k = nn_index.shape
 
     def one_chunk(idx, cnt):
@@ -73,12 +107,26 @@ def max_pool3d(
     return packed[..., :c], packed[..., c:].astype(jnp.int32)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("window",))
 def avg_pool3d(
-    inputs: jax.Array, nn_index: jax.Array, nn_count: jax.Array
+    inputs: jax.Array,
+    nn_index: jax.Array,
+    nn_count: jax.Array,
+    window: int | None = None,
 ) -> jax.Array:
     """Average pooling: masked mean over valid neighbors
     (ref tf_pool3d_gpu.cu:53-70)."""
+    if window is not None:
+        num_out = nn_index.shape[1]
+        g, _ = windowed_gather_padded(
+            inputs, nn_index, nn_count, window=window
+        )
+        cnt_p = jnp.pad(
+            nn_count, ((0, 0), (0, g.shape[1] - num_out))
+        )
+        summed = jnp.sum(g, axis=2)  # invalid lanes are exact zeros
+        inv = 1.0 / jnp.maximum(cnt_p, 1).astype(inputs.dtype)
+        return (summed * inv[..., None])[:, :num_out]
     batch, num_out, k = nn_index.shape
 
     def one_chunk(idx, cnt):

@@ -20,12 +20,15 @@ tf_unpool3d_gpu.cu:25-42,66-84 without atomics.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 from sph3d_gcn_tpu.ops.chunking import chunk_size, map_output_chunks
 from sph3d_gcn_tpu.ops.gather import gather_features as _gather_features
+from sph3d_gcn_tpu.ops.windowed import windowed_gather_padded
 
 
 def _valid_mask(idx: jax.Array, count: jax.Array) -> jax.Array:
@@ -33,9 +36,12 @@ def _valid_mask(idx: jax.Array, count: jax.Array) -> jax.Array:
     return k_ids < count[..., None]
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("window",))
 def mean_interpolate(
-    inputs: jax.Array, nn_index: jax.Array, nn_count: jax.Array
+    inputs: jax.Array,
+    nn_index: jax.Array,
+    nn_count: jax.Array,
+    window: int | None = None,
 ) -> jax.Array:
     """Fine-point feature = mean of its coarse neighbors.
 
@@ -47,6 +53,15 @@ def mean_interpolate(
     Returns:
       (B, N, C) float32 interpolated fine features.
     """
+    if window is not None:
+        num_out = nn_index.shape[1]
+        g, _ = windowed_gather_padded(
+            inputs, nn_index, nn_count, window=window
+        )
+        cnt_p = jnp.pad(nn_count, ((0, 0), (0, g.shape[1] - num_out)))
+        summed = jnp.sum(g, axis=2)  # invalid lanes are exact zeros
+        inv = 1.0 / jnp.maximum(cnt_p, 1).astype(inputs.dtype)
+        return (summed * inv[..., None])[:, :num_out]
     batch, num_out, k = nn_index.shape
 
     def one_chunk(idx, cnt):
@@ -60,12 +75,13 @@ def mean_interpolate(
     return map_output_chunks(one_chunk, num_out, t, nn_index, nn_count)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("window",))
 def weighted_interpolate(
     inputs: jax.Array,
     weight: jax.Array,
     nn_index: jax.Array,
     nn_count: jax.Array,
+    window: int | None = None,
 ) -> jax.Array:
     """Fine-point feature = weighted sum of coarse neighbors
     (ref tf_unpool3d_gpu.cu:45-63).
@@ -79,6 +95,14 @@ def weighted_interpolate(
     Returns:
       (B, N, C) float32.
     """
+    if window is not None:
+        num_out, k = nn_index.shape[1:]
+        g, valid = windowed_gather_padded(
+            inputs, nn_index, nn_count, window=window
+        )
+        w_p = jnp.pad(weight, ((0, 0), (0, g.shape[1] - num_out), (0, 0)))
+        w_p = jnp.where(valid, w_p, 0.0).astype(inputs.dtype)
+        return jnp.sum(g * w_p[..., None], axis=2)[:, :num_out]
     batch, num_out, k = nn_index.shape
 
     def one_chunk(idx, cnt, wgt):

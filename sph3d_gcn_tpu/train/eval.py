@@ -122,6 +122,88 @@ def coverage_eval_block(
     return pred_sum
 
 
+def coverage_eval_blocks(
+    forward: Callable[[np.ndarray, list[int]], np.ndarray],
+    blocks: list[tuple[np.ndarray, np.ndarray]],
+    num_model_points: int,
+    batch_size: int,
+    rng: np.random.Generator | None = None,
+    max_rounds: int = 100,
+    min_count: int = 1,
+    augment_fn: Callable[[np.ndarray, np.random.Generator], np.ndarray]
+    | None = None,
+) -> list[np.ndarray]:
+    """Coverage-vote MANY blocks with full batches (no padding waste).
+
+    The reference evaluates one block per session call but batches its
+    resamples (ref evaluate_s3dis_with_overlap.py:270-302); padding a
+    single block to the batch and discarding the rest — as a naive port
+    does — wastes batch_size-1 forwards per round. Here each forward mixes
+    resamples from up to ``batch_size`` DIFFERENT still-uncovered blocks,
+    so device utilization stays full until the final partial batch.
+
+    Args:
+      forward: (points (B, N, D), block_ids list[int]) -> (B, N, C) logits;
+        ``block_ids`` lets callers attach per-block side inputs (e.g. the
+        ShapeNet one-hot category label). Entries beyond the real blocks in
+        a padded final batch repeat the first id.
+      blocks: per block, (points (P, D), inner (P,) mask).
+      num_model_points: the model's fixed point count.
+      batch_size: the jitted step's batch size.
+      rng, max_rounds, min_count, augment_fn: as
+        :func:`coverage_eval_block`.
+
+    Returns:
+      Per block, (P, C) accumulated logits (aligned with ``blocks``).
+    """
+    if rng is None:
+        rng = np.random.default_rng(0)
+    n = len(blocks)
+    sums: list[np.ndarray | None] = [None] * n
+    counts = [np.zeros(len(pts), np.int64) for pts, _ in blocks]
+    rounds = np.zeros(n, np.int64)
+    need = list(range(n))
+
+    def covered(i):
+        inner_idx = np.asarray(blocks[i][1]) == 1
+        return bool((counts[i][inner_idx] >= min_count).all())
+
+    while need:
+        take = need[:batch_size]
+        sels = [
+            resample_block(len(blocks[i][0]), num_model_points, rng)
+            for i in take
+        ]
+        chunk = np.stack(
+            [blocks[i][0][sel] for i, sel in zip(take, sels)]
+        ).astype(np.float32)
+        real = len(take)
+        if real < batch_size:
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[:1], batch_size - real, axis=0)]
+            )
+        ids = take + [take[0]] * (batch_size - real)
+        passes = [np.asarray(forward(chunk, ids))[:real]]
+        if augment_fn is not None:
+            aug = chunk.copy()
+            aug[..., 0:3] = augment_fn(aug[..., 0:3], rng)
+            passes.append(np.asarray(forward(aug, ids))[:real])
+        for j, (i, sel) in enumerate(zip(take, sels)):
+            if sums[i] is None:
+                sums[i] = np.zeros(
+                    (len(blocks[i][0]), passes[0].shape[-1]), np.float32
+                )
+            for logits in passes:
+                np.add.at(sums[i], sel, logits[j])
+            counts[i][sel] += 1
+            rounds[i] += 1
+        need = [
+            i for i in need
+            if not (i in take and (covered(i) or rounds[i] >= max_rounds))
+        ]
+    return sums
+
+
 def shapenet_eval_augment(
     batch_xyz: np.ndarray, rng: np.random.Generator
 ) -> np.ndarray:

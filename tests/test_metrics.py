@@ -52,3 +52,80 @@ def test_shape_iou_union_zero_is_one():
     v2 = shape_iou(pred2, label, np.array([0, 1, 2]))
     # part 0: 1/2; part 1: 1/2; part 2 absent from both: 1.0
     np.testing.assert_allclose(v2, (0.5 + 0.5 + 1.0) / 3)
+
+
+def test_scene_accumulator_save_load_merge(tmp_path):
+    from sph3d_gcn_tpu.data.merge import SceneAccumulator
+
+    rng = np.random.default_rng(0)
+    folds = []
+    for i in range(3):
+        acc = SceneAccumulator(num_cls=5)
+        acc.add_scene(rng.integers(0, 5, 200), rng.integers(0, 5, 200))
+        acc.save(str(tmp_path / f"fold{i}.npz"))
+        folds.append(acc)
+
+    total = SceneAccumulator(num_cls=5)
+    for i in range(3):
+        total.merge(SceneAccumulator.load(str(tmp_path / f"fold{i}.npz")))
+    expect_intersect = sum(f.total_intersect for f in folds)
+    np.testing.assert_array_equal(total.total_intersect, expect_intersect)
+    assert total.merged_seen == sum(f.merged_seen for f in folds)
+    # aggregate matches a single accumulator fed everything
+    assert 0.0 <= total.overall_accuracy <= 1.0
+
+
+def test_aggregate_folds_script(tmp_path):
+    import sys
+
+    sys.path.insert(0, "scripts")
+    from aggregate_folds import aggregate
+
+    from sph3d_gcn_tpu.data.merge import SceneAccumulator
+
+    rng = np.random.default_rng(1)
+    paths = []
+    ref = SceneAccumulator(num_cls=4)
+    for i in range(2):
+        acc = SceneAccumulator(num_cls=4)
+        pred, gt = rng.integers(0, 4, 100), rng.integers(0, 4, 100)
+        acc.add_scene(pred, gt)
+        ref.add_scene(pred, gt)
+        p = str(tmp_path / f"Area_{i}_metric.npz")
+        acc.save(p)
+        paths.append(p)
+    total = aggregate(paths)
+    assert total.overall_accuracy == ref.overall_accuracy
+    assert total.mean_iou == ref.mean_iou
+
+
+def test_coverage_eval_blocks_covers_and_predicts():
+    from sph3d_gcn_tpu.train.eval import coverage_eval_blocks
+
+    rng = np.random.default_rng(2)
+    # label is encoded in the 4th column; forward one-hots it
+    blocks = []
+    labels = []
+    for size in (37, 61, 150):  # below and above the model size
+        lab = rng.integers(0, 3, size)
+        pts = np.concatenate(
+            [rng.standard_normal((size, 3)), lab[:, None]], axis=1
+        ).astype(np.float32)
+        blocks.append((pts, np.ones(size, np.int32)))
+        labels.append(lab)
+
+    calls = []
+
+    def forward(points, ids):
+        calls.append(list(ids))
+        return np.eye(3, dtype=np.float32)[points[..., 3].astype(int)]
+
+    out = coverage_eval_blocks(forward, blocks, 64, batch_size=4, rng=rng,
+                               min_count=2)
+    for logits, lab, (pts, _inner) in zip(out, labels, blocks):
+        assert logits.shape == (len(lab), 3)
+        # every point covered at least min_count times
+        assert (logits.sum(axis=1) >= 2).all()
+        np.testing.assert_array_equal(logits.argmax(1), lab)
+    # batching really mixed blocks in one forward
+    assert any(len(set(ids)) > 1 for ids in calls)
