@@ -1,6 +1,7 @@
-"""Benchmark: ModelNet40 classification training throughput (points/sec/chip).
+"""Benchmark: training throughput in points/sec/chip (headline metrics).
 
-Prints ONE JSON line:
+Prints one JSON line per headline config, ModelNet40 first (the driver's
+metric of record), then S3DIS segmentation:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Baseline: the reference publishes no throughput numbers (BASELINE.md). The
@@ -21,8 +22,8 @@ import numpy as np
 TITAN_XP_POINTS_PER_SEC_ESTIMATE = 640_000.0
 
 BATCH_SIZE = 16
-WARMUP = 2
-ITERS = 5
+WARMUP = 3
+ITERS = 10
 
 
 def surface_clouds(rng, batch: int, n: int) -> np.ndarray:
@@ -36,9 +37,32 @@ def surface_clouds(rng, batch: int, n: int) -> np.ndarray:
     return v * axes
 
 
-def main() -> None:
-    import jax
+def scene_blocks(rng, batch: int, n: int) -> np.ndarray:
+    """Random 1.5m scene blocks: xyz + rel_xyz + rgb (9 columns)."""
+    xyz = rng.uniform(0.0, 1.5, (batch, n, 3)).astype(np.float32)
+    xyz[..., 2] *= 2.0
+    rel = rng.uniform(-1.0, 1.0, (batch, n, 3)).astype(np.float32)
+    rgb = rng.uniform(-1.0, 1.0, (batch, n, 3)).astype(np.float32)
+    return np.concatenate([xyz, rel, rgb], axis=-1)
 
+
+def _time_steps(step, state, batches, key) -> float:
+    """Median-of-3 timing blocks, each ITERS steps synced by pulling the
+    loss scalar (``block_until_ready`` is unreliable over the axon relay)."""
+    for i in range(WARMUP):
+        state, metrics = step(state, batches[i % len(batches)], key)
+        float(metrics["loss"])
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for i in range(ITERS):
+            state, metrics = step(state, batches[i % len(batches)], key)
+        float(metrics["loss"])  # chained state serializes all ITERS steps
+        times.append((time.perf_counter() - t0) / ITERS)
+    return sorted(times)[1]
+
+
+def bench_modelnet(jax) -> None:
     from sph3d_gcn_tpu.configs import modelnet_config
     from sph3d_gcn_tpu.models import SPH3DModelNet
     from sph3d_gcn_tpu.train import (
@@ -48,10 +72,10 @@ def main() -> None:
     )
 
     # fast=True is the TPU production-training mode: bfloat16 activations,
-    # per-cloud axis sorting and the locality-windowed edge engine
-    # (ops/windowed.py) — numerically a layout + precision mode; graph
-    # semantics are exact (window overflows fall back to plain gathers).
-    cfg = modelnet_config(fast=True)
+    # per-cloud axis sorting and the dense windowed edge engine
+    # (ops/dense.py) — numerically a layout + precision mode; exactness of
+    # the window coverage is certified per-graph (DenseNeighborhood.ok).
+    cfg = modelnet_config(fast=True, dense=True)
     model = SPH3DModelNet(cfg)
     sched = exponential_decay_lr(0.001, batch_size=BATCH_SIZE)
     tx = make_optimizer("adam", sched)
@@ -70,21 +94,7 @@ def main() -> None:
         for _ in range(4)
     ]
     state = factory.init_state(jax.random.key(0), batches[0])
-    step = factory.train_step()
-    key = jax.random.key(1)
-
-    # NB: sync by pulling the loss scalar to host — on the axon-relay
-    # platform `block_until_ready` does not reliably wait for execution,
-    # so device-only syncs produce bogus (wildly optimistic) timings.
-    for i in range(WARMUP):
-        state, metrics = step(state, batches[i % len(batches)], key)
-        float(metrics["loss"])
-
-    t0 = time.perf_counter()
-    for i in range(ITERS):
-        state, metrics = step(state, batches[i % len(batches)], key)
-    float(metrics["loss"])  # chained state serializes all ITERS steps
-    dt = (time.perf_counter() - t0) / ITERS
+    dt = _time_steps(factory.train_step(), state, batches, jax.random.key(1))
 
     points_per_sec = BATCH_SIZE * cfg.num_input / dt
     print(
@@ -97,8 +107,65 @@ def main() -> None:
                     points_per_sec / TITAN_XP_POINTS_PER_SEC_ESTIMATE, 3
                 ),
             }
-        )
+        ),
+        flush=True,
     )
+
+
+def bench_s3dis(jax) -> None:
+    from sph3d_gcn_tpu.configs import s3dis_config
+    from sph3d_gcn_tpu.models import SPH3DSceneSeg
+    from sph3d_gcn_tpu.train import (
+        exponential_decay_lr,
+        make_optimizer,
+        segmentation_step_factory,
+    )
+
+    cfg = s3dis_config(fast=True)
+    model = SPH3DSceneSeg(cfg)
+    sched = exponential_decay_lr(0.001, batch_size=BATCH_SIZE)
+    tx = make_optimizer("adam", sched)
+    factory = segmentation_step_factory(model, tx, inner_masked=True)
+
+    rng = np.random.default_rng(0)
+    batches = [
+        {
+            "points": scene_blocks(rng, BATCH_SIZE, cfg.num_input),
+            "label": rng.integers(
+                0, cfg.num_cls, (BATCH_SIZE, cfg.num_input)
+            ).astype(np.int32),
+            "inner_label": rng.integers(
+                0, 2, (BATCH_SIZE, cfg.num_input)
+            ).astype(np.int32),
+        }
+        for _ in range(4)
+    ]
+    state = factory.init_state(jax.random.key(0), batches[0])
+    dt = _time_steps(factory.train_step(), state, batches, jax.random.key(1))
+
+    points_per_sec = BATCH_SIZE * cfg.num_input / dt
+    # Same Titan-XP per-point estimate as ModelNet (the reference prints
+    # per-batch ms only; S3DIS steps are comparable per point there).
+    print(
+        json.dumps(
+            {
+                "metric": "S3DIS seg train throughput (B=16, N=8192)",
+                "value": round(points_per_sec, 1),
+                "unit": "points/sec/chip",
+                "vs_baseline": round(
+                    points_per_sec / TITAN_XP_POINTS_PER_SEC_ESTIMATE, 3
+                ),
+            }
+        ),
+        flush=True,
+    )
+
+
+def main() -> None:
+    import jax
+
+    bench_modelnet(jax)
+    bench_s3dis(jax)
 
 
 if __name__ == "__main__":

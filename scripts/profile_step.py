@@ -34,6 +34,8 @@ def main():
     parser.add_argument("--platform", default=None)
     parser.add_argument("--fast", action="store_true",
                         help="profile the fast (bf16 + windowed) config")
+    parser.add_argument("--dense", action="store_true",
+                        help="with --fast: use the dense windowed engine")
     args = parser.parse_args()
     if args.platform:
         import jax
@@ -55,7 +57,7 @@ def main():
     if args.model == "modelnet":
         from bench import surface_clouds
 
-        cfg = modelnet_config(fast=args.fast)
+        cfg = modelnet_config(fast=args.fast, dense=args.dense)
         model = SPH3DModelNet(cfg)
         factory = classification_step_factory(
             model, make_optimizer("adam", 1e-3), weight_decay=cfg.weight_decay
@@ -66,7 +68,7 @@ def main():
         }
         tag = "SPH3DModelNet"
     else:
-        cfg = s3dis_config(fast=args.fast)
+        cfg = s3dis_config(fast=args.fast, dense=args.dense)
         model = SPH3DSceneSeg(cfg)
         factory = segmentation_step_factory(
             model, make_optimizer("adam", 1e-3), inner_masked=True
@@ -129,6 +131,27 @@ def main():
     for name, dur in unmapped.most_common(10):
         print(f"{dur / 1000:8.2f} ms  {name[:80]}")
     print(f"unmapped total: {sum(unmapped.values()) / 1000:.1f} ms")
+
+    # MFU: HLO-counted flops per steady-state step over the v5e bf16 MXU
+    # peak (197 TFLOP/s). HLO flops include engine overheads (e.g. the
+    # dense one-hot matmuls), so this is hardware utilization, an upper
+    # bound on model-flop utilization.
+    import time
+
+    cost = step.lower(state, batch, key).compile().cost_analysis()
+    flops = float(cost.get("flops", 0.0)) if cost else 0.0
+    for _ in range(2):
+        state, m = step(state, batch, key)
+        float(m["loss"])
+    t0 = time.perf_counter()
+    iters = 5
+    for _ in range(iters):
+        state, m = step(state, batch, key)
+    float(m["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    peak = 197e12
+    print(f"== step {dt * 1000:.1f} ms, {flops / 1e9:.1f} GFLOP (HLO), "
+          f"MFU {flops / dt / peak * 100:.2f}% of v5e bf16 peak ==")
 
 
 if __name__ == "__main__":

@@ -13,16 +13,21 @@ import dataclasses
 from sph3d_gcn_tpu.configs.base import SPH3DConfig
 
 
-def _fast_mode(cfg: SPH3DConfig, windows: tuple[int, ...]) -> SPH3DConfig:
+def _fast_mode(
+    cfg: SPH3DConfig, windows: tuple[int, ...], dense: bool = False
+) -> SPH3DConfig:
     return dataclasses.replace(
         cfg,
         compute_dtype="bfloat16",
         spatial_sort=True,
         windows=windows[: len(cfg.num_sample)],
+        dense_graph=dense,
     )
 
 
-def modelnet_config(num_input: int = 10000, fast: bool = False) -> SPH3DConfig:
+def modelnet_config(
+    num_input: int = 10000, fast: bool = False, dense: bool = False
+) -> SPH3DConfig:
     """ref modelnet40_cls/modelnet_config.py:1-37."""
     num_sample = tuple(
         num_input // 4 ** (i + 1)
@@ -55,11 +60,13 @@ def modelnet_config(num_input: int = 10000, fast: bool = False) -> SPH3DConfig:
         # surfaces (1298 / 798 / 512 rows per level incl. the 128-row tile
         # quantum) plus overflow margin; pool windows derive from these
         # (SPH3DConfig.pool_window).
-        cfg = _fast_mode(cfg, (1536, 1024, 640))
+        cfg = _fast_mode(cfg, (1536, 1024, 640), dense=dense)
     return cfg
 
 
-def shapenet_config(num_input: int = 2048, fast: bool = False) -> SPH3DConfig:
+def shapenet_config(
+    num_input: int = 2048, fast: bool = False, dense: bool = False
+) -> SPH3DConfig:
     """ref shapenet_seg/shapenet_config.py:1-24 (num_cls is per-category and
     passed to the model separately)."""
     cfg = SPH3DConfig(
@@ -81,12 +88,13 @@ def shapenet_config(num_input: int = 2048, fast: bool = False) -> SPH3DConfig:
         with_bias=False,
     )
     if fast:
-        cfg = _fast_mode(cfg, (512, 512, 512, 384))
+        cfg = _fast_mode(cfg, (512, 512, 512, 384), dense=dense)
     return cfg
 
 
 def _scene_seg_config(
-    num_cls: int, num_input: int = 8192, fast: bool = False
+    num_cls: int, num_input: int = 8192, fast: bool = False,
+    dense: bool = False,
 ) -> SPH3DConfig:
     # Reference pyramid at 8192 points; scaled proportionally for smaller
     # inputs (test/debug sizes only — 8192 is the reference setting).
@@ -121,25 +129,35 @@ def _scene_seg_config(
             min(-(-w * num_input // 8192 // 128) * 128, 8192)
             for w in (1792, 896, 768, 384)
         )
-        cfg = _fast_mode(cfg, win)
+        cfg = _fast_mode(cfg, win, dense=dense)
     return cfg
 
 
-def scannet_config(num_input: int = 8192, fast: bool = False) -> SPH3DConfig:
+def scannet_config(
+    num_input: int = 8192, fast: bool = False, dense: bool = False
+) -> SPH3DConfig:
     """ref scannet_seg/scannet_config.py:1-26."""
-    return _scene_seg_config(num_cls=21, num_input=num_input, fast=fast)
+    return _scene_seg_config(
+        num_cls=21, num_input=num_input, fast=fast, dense=dense
+    )
 
 
-def s3dis_config(num_input: int = 8192, fast: bool = False) -> SPH3DConfig:
+def s3dis_config(
+    num_input: int = 8192, fast: bool = False, dense: bool = False
+) -> SPH3DConfig:
     """ref s3dis_seg/s3dis_config.py:1-26."""
-    return _scene_seg_config(num_cls=13, num_input=num_input, fast=fast)
+    return _scene_seg_config(
+        num_cls=13, num_input=num_input, fast=fast, dense=dense
+    )
 
 
 def ruemonge2014_config(
-    num_input: int = 8192, fast: bool = False
+    num_input: int = 8192, fast: bool = False, dense: bool = False
 ) -> SPH3DConfig:
     """ref ruemonge2014_seg/ruemonge2014_config.py:1-26."""
-    return _scene_seg_config(num_cls=7, num_input=num_input, fast=fast)
+    return _scene_seg_config(
+        num_cls=7, num_input=num_input, fast=fast, dense=dense
+    )
 
 
 __all__ = [

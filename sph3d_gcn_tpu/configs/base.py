@@ -61,6 +61,13 @@ class SPH3DConfig:
     # rematerialize conv blocks in backward (trades ~30% conv FLOPs for
     # activation memory; needed for the 8192-point seg models at batch 16)
     remat_blocks: bool = False
+    # Dense windowed engine (ops/dense.py): the level graphs are built as
+    # (tile x window) mask/bin maps with NO per-edge index lists; conv,
+    # pool and unpool consume the maps directly as MXU matmuls / masked
+    # reductions. Requires spatial_sort and windows. Exactness is checked
+    # per graph (DenseNeighborhood.ok, sown as 'dense_ok') — the windows
+    # in the shipped configs carry measured margins.
+    dense_graph: bool = False
 
     @property
     def dtype(self):
@@ -109,6 +116,10 @@ class SPH3DConfig:
 
     def __post_init__(self) -> None:
         num_levels = len(self.num_sample)
+        if self.dense_graph and (self.windows is None or not self.spatial_sort):
+            raise ValueError(
+                "dense_graph requires spatial_sort=True and per-level windows"
+            )
         if self.windows is not None and len(self.windows) != num_levels:
             raise ValueError(
                 f"windows must have {num_levels} entries, got "

@@ -18,6 +18,8 @@ from sph3d_gcn_tpu.models.common import SeparableConvBlock, normalize_unit_spher
 from sph3d_gcn_tpu.nn.graph import (
     build_global_graph,
     build_graph,
+    build_graph_dense,
+    build_pool_graph_dense,
     gather_neighborhood,
     gather_points,
 )
@@ -70,6 +72,7 @@ class SPH3DModelNet(fnn.Module):
             sample_key = self.make_rng("sample")
 
         global_feat = []
+        dense_ok = jnp.bool_(True)
         for level in range(len(cfg.radius)):
             if cfg.use_raw:
                 net = jnp.concatenate([net, xyz], axis=-1)
@@ -77,15 +80,29 @@ class SPH3DModelNet(fnn.Module):
             key = None
             if sample_key is not None:
                 key = jax.random.fold_in(sample_key, level)
-            nbh, filt_idx, sample_idx = build_graph(
-                xyz,
-                cfg.radius[level],
-                cfg.nn_uplimit[level],
-                cfg.num_sample[level],
-                sample_method=cfg.sample,
-                key=key,
-                kernel=cfg.kernel,
-            )
+            if cfg.dense_graph:
+                nbh, sample_idx = build_graph_dense(
+                    xyz,
+                    cfg.radius[level],
+                    cfg.nn_uplimit[level],
+                    cfg.num_sample[level],
+                    sample_method=cfg.sample,
+                    key=key,
+                    kernel=cfg.kernel,
+                    window=cfg.enc_window(level),
+                )
+                dense_ok &= nbh.ok
+                filt_idx = None
+            else:
+                nbh, filt_idx, sample_idx = build_graph(
+                    xyz,
+                    cfg.radius[level],
+                    cfg.nn_uplimit[level],
+                    cfg.num_sample[level],
+                    sample_method=cfg.sample,
+                    key=key,
+                    kernel=cfg.kernel,
+                )
             net = SeparableConvBlock(
                 list_channels=cfg.channels[level],
                 bin_size=cfg.bin_size,
@@ -96,19 +113,39 @@ class SPH3DModelNet(fnn.Module):
             )(net, nbh, filt_idx, train)
 
             if cfg.num_sample[level] > 1:
-                if cfg.spatial_sort and sample_idx is not None:
-                    # Ascending order keeps the coarse cloud axis-sorted
-                    # (a subsequence of a sorted sequence).
-                    sample_idx = jnp.sort(sample_idx, axis=1)
-                xyz = gather_points(xyz, sample_idx)
-                inter = gather_neighborhood(nbh, sample_idx)
-                net = pool3d(
-                    net, inter, method=cfg.pool_method,
-                    window=cfg.pool_window(level),
-                )
+                if cfg.dense_graph:
+                    # build_graph_dense returns sorted indices: the coarse
+                    # cloud stays axis-sorted for the next dense level.
+                    xyz_coarse = gather_points(xyz, sample_idx)
+                    inter = build_pool_graph_dense(
+                        xyz, xyz_coarse, cfg.radius[level],
+                        cfg.nn_uplimit[level],
+                        window=cfg.pool_window(level),
+                    )
+                    dense_ok &= inter.ok
+                    xyz = xyz_coarse
+                    net = pool3d(net, inter, method=cfg.pool_method)
+                else:
+                    if cfg.spatial_sort and sample_idx is not None:
+                        # Ascending order keeps the coarse cloud axis-sorted
+                        # (a subsequence of a sorted sequence).
+                        sample_idx = jnp.sort(sample_idx, axis=1)
+                    xyz = gather_points(xyz, sample_idx)
+                    inter = gather_neighborhood(nbh, sample_idx)
+                    net = pool3d(
+                        net, inter, method=cfg.pool_method,
+                        window=cfg.pool_window(level),
+                    )
 
             # Multi-scale global max-pool feature (ref SPH3D_modelnet.py:82-83).
             global_feat.append(jnp.max(net, axis=1, keepdims=True))
+
+        if cfg.dense_graph:
+            # Window-coverage certificate: True iff every dense graph this
+            # forward built provably covered all in-range neighbors (then
+            # outputs equal the classic per-edge path exactly). Read via
+            # mutable=["intermediates"]; a no-op otherwise.
+            self.sow("intermediates", "dense_ok", dense_ok)
 
         # Global feature: all remaining points -> centroid query
         # (ref SPH3D_modelnet.py:85-94).

@@ -27,6 +27,9 @@ from sph3d_gcn_tpu.models.common import (
 from sph3d_gcn_tpu.nn.graph import (
     build_graph,
     build_graph_deconv,
+    build_graph_deconv_dense,
+    build_graph_dense,
+    build_pool_graph_dense,
     gather_neighborhood,
     gather_points,
 )
@@ -86,19 +89,34 @@ class SegEncoderDecoder(fnn.Module):
         encoder = [net] if self.include_input_skip else []
 
         # ---------------- Encoder (ref SPH3D_s3dis.py:53-77) ----------------
+        dense_ok = jnp.bool_(True)
         for level in range(num_levels):
             key = None
             if sample_key is not None:
                 key = jax.random.fold_in(sample_key, level)
-            nbh, filt_idx, sample_idx = build_graph(
-                xyz,
-                cfg.radius[level],
-                cfg.nn_uplimit[level],
-                cfg.num_sample[level],
-                sample_method=cfg.sample,
-                key=key,
-                kernel=cfg.kernel,
-            )
+            if cfg.dense_graph:
+                nbh, sample_idx = build_graph_dense(
+                    xyz,
+                    cfg.radius[level],
+                    cfg.nn_uplimit[level],
+                    cfg.num_sample[level],
+                    sample_method=cfg.sample,
+                    key=key,
+                    kernel=cfg.kernel,
+                    window=cfg.enc_window(level),
+                )
+                dense_ok &= nbh.ok
+                filt_idx = None
+            else:
+                nbh, filt_idx, sample_idx = build_graph(
+                    xyz,
+                    cfg.radius[level],
+                    cfg.nn_uplimit[level],
+                    cfg.num_sample[level],
+                    sample_method=cfg.sample,
+                    key=key,
+                    kernel=cfg.kernel,
+                )
             net = SeparableConvBlock(
                 list_channels=cfg.channels[level],
                 bin_size=cfg.bin_size,
@@ -110,16 +128,30 @@ class SegEncoderDecoder(fnn.Module):
 
             encoder.append(net)
             if cfg.num_sample[level] > 1:
-                if cfg.spatial_sort and sample_idx is not None:
-                    # Ascending order keeps the coarse cloud axis-sorted.
-                    sample_idx = jnp.sort(sample_idx, axis=1)
-                xyz = gather_points(xyz, sample_idx)
-                xyz_layers.append(xyz)
-                inter = gather_neighborhood(nbh, sample_idx)
-                net = pool3d(
-                    net, inter, method=cfg.pool_method,
-                    window=cfg.pool_window(level),
-                )
+                if cfg.dense_graph:
+                    # build_graph_dense returns sorted indices: the coarse
+                    # cloud stays axis-sorted for the next dense level.
+                    xyz_coarse = gather_points(xyz, sample_idx)
+                    inter = build_pool_graph_dense(
+                        xyz, xyz_coarse, cfg.radius[level],
+                        cfg.nn_uplimit[level],
+                        window=cfg.pool_window(level),
+                    )
+                    dense_ok &= inter.ok
+                    xyz = xyz_coarse
+                    xyz_layers.append(xyz)
+                    net = pool3d(net, inter, method=cfg.pool_method)
+                else:
+                    if cfg.spatial_sort and sample_idx is not None:
+                        # Ascending order keeps the coarse cloud axis-sorted.
+                        sample_idx = jnp.sort(sample_idx, axis=1)
+                    xyz = gather_points(xyz, sample_idx)
+                    xyz_layers.append(xyz)
+                    inter = gather_neighborhood(nbh, sample_idx)
+                    net = pool3d(
+                        net, inter, method=cfg.pool_method,
+                        window=cfg.pool_window(level),
+                    )
 
         # Decoder indexes reversed *copies* (the reference reverses the
         # config lists in place, ref SPH3D_s3dis.py:79-84).
@@ -134,13 +166,22 @@ class SegEncoderDecoder(fnn.Module):
         for level in range(num_levels):
             xyz_coarse = xyz_layers[level]
             xyz_fine = xyz_layers[level + 1]
-            intra, filt_idx, inter = build_graph_deconv(
-                xyz_coarse, xyz_fine, radius_r[level], nn_uplimit_r[level],
-                kernel=cfg.kernel,
-            )
             # Decoder edges search the SAMPLED cloud of the mirrored
             # encoder level — its proportionally smaller window applies.
             dec_win = cfg.dec_window(num_levels - 1 - level)
+            if cfg.dense_graph:
+                intra, inter = build_graph_deconv_dense(
+                    xyz_coarse, xyz_fine, radius_r[level],
+                    nn_uplimit_r[level], kernel=cfg.kernel, window=dec_win,
+                    need_dist=cfg.unpool_method == "weighted",
+                )
+                dense_ok &= intra.ok & inter.ok
+                filt_idx = None
+            else:
+                intra, filt_idx, inter = build_graph_deconv(
+                    xyz_coarse, xyz_fine, radius_r[level],
+                    nn_uplimit_r[level], kernel=cfg.kernel,
+                )
             net = SeparableConvBlock(
                 list_channels=channels_r[level],
                 bin_size=cfg.bin_size,
@@ -153,6 +194,11 @@ class SegEncoderDecoder(fnn.Module):
                 net, inter, method=cfg.unpool_method, window=dec_win
             )
             net = jnp.concatenate((net, encoder[level]), axis=2)
+
+        if cfg.dense_graph:
+            # Window-coverage certificate (see SPH3DModelNet): True iff all
+            # dense graphs provably covered their in-range neighbors.
+            self.sow("intermediates", "dense_ok", dense_ok)
 
         if self.include_input_skip:
             # mlp2 + concat of the mlp1 features (ref SPH3D_shapenet.py:106-108).

@@ -11,6 +11,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from sph3d_gcn_tpu.ops.dense import (
+    DenseNeighborhood,
+    build_dense_graph,
+    dense_ids_prob,
+)
 from sph3d_gcn_tpu.ops.neighbor import (
     build_sphere_neighbor,
     build_sphere_neighbor_and_bins,
@@ -88,6 +93,91 @@ def build_graph(
     if kernel is not None:
         return intra, filt, sample_index
     return intra, sample_index
+
+
+def build_graph_dense(
+    xyz: jax.Array,
+    radius: float,
+    nn_uplimit: int,
+    num_sample: int | None,
+    sample_method: str | None = None,
+    key: jax.Array | None = None,
+    kernel: tuple[int, int, int] = (8, 2, 2),
+    window: int = 1024,
+) -> tuple[DenseNeighborhood, jax.Array | None]:
+    """Dense-map counterpart of :func:`build_graph` (fast mode).
+
+    Same graph semantics (first-K selection, counts, spherical bins, IDS
+    probabilities — see ops/dense.py) but no per-edge index lists; the
+    subsample indices come back SORTED so coarser levels stay axis-sorted.
+
+    Returns:
+      (DenseNeighborhood, sample_index (B, S) int32 or None).
+    """
+    need_dist = sample_method == "IDS" and num_sample is not None
+    dnbh = build_dense_graph(
+        xyz, xyz, radius, nn_uplimit, kernel, window=window,
+        self_graph=True, need_dist=need_dist,
+    )
+    if num_sample is None:
+        return dnbh, None
+    if sample_method == "random":
+        if key is None:
+            raise ValueError("random sampling requires a PRNG key")
+        sample_index = random_sample(num_sample, xyz, key)
+    elif sample_method == "FPS":
+        sample_index = farthest_point_sample(num_sample, xyz)
+    elif sample_method == "IDS":
+        if key is None:
+            raise ValueError("IDS sampling requires a PRNG key")
+        sample_index = inverse_density_sample(
+            num_sample, dense_ids_prob(dnbh), key
+        )
+    else:
+        raise ValueError(f"Unknown sampling method: {sample_method!r}")
+    return dnbh, jnp.sort(sample_index, axis=1)
+
+
+def build_pool_graph_dense(
+    xyz: jax.Array,
+    xyz_sampled: jax.Array,
+    radius: float,
+    nn_uplimit: int,
+    window: int,
+) -> DenseNeighborhood:
+    """Dense pooling graph: the sampled points re-query the level cloud.
+
+    Row-for-row identical to gathering the intra-level neighborhood at the
+    sampled indices (selection is independent per query row), which is how
+    the classic path builds the pooling graph (ref sph3gcn_util.py:28-49 +
+    the gather_nd coarsening in the models).
+    """
+    return build_dense_graph(
+        xyz, xyz_sampled, radius, nn_uplimit, None, window=window,
+        self_graph=False,
+    )
+
+
+def build_graph_deconv_dense(
+    xyz: jax.Array,
+    xyz_unpool: jax.Array,
+    radius: float,
+    nn_uplimit: int,
+    kernel: tuple[int, int, int],
+    window: int,
+    need_dist: bool = False,
+) -> tuple[DenseNeighborhood, DenseNeighborhood]:
+    """Dense counterpart of :func:`build_graph_deconv`: coarse intra maps
+    plus fine->coarse inter maps for unpooling."""
+    intra = build_dense_graph(
+        xyz, xyz, radius, nn_uplimit, kernel, window=window,
+        self_graph=True,
+    )
+    inter = build_dense_graph(
+        xyz, xyz_unpool, radius, nn_uplimit, None, window=window,
+        self_graph=False, need_dist=need_dist,
+    )
+    return intra, inter
 
 
 def build_graph_deconv(

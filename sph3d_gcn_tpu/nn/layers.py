@@ -26,6 +26,14 @@ import jax
 import jax.numpy as jnp
 
 from sph3d_gcn_tpu.ops.conv import depthwise_conv3d
+from sph3d_gcn_tpu.ops.dense import (
+    DenseNeighborhood,
+    dense_avg_pool3d,
+    dense_depthwise_conv3d,
+    dense_max_pool3d,
+    dense_mean_interpolate,
+    dense_weighted_interpolate,
+)
 from sph3d_gcn_tpu.ops.pool import avg_pool3d, max_pool3d
 from sph3d_gcn_tpu.ops.types import Neighborhood
 from sph3d_gcn_tpu.ops.unpool import mean_interpolate, weighted_interpolate
@@ -89,10 +97,15 @@ class SeparableConv3d(fnn.Module):
             _glorot,
             (self.bin_size, c_in, self.depth_multiplier),
         )
-        out = depthwise_conv3d(
-            inputs, depthwise, nbh.idx, nbh.count, filt_index,
-            window=self.window,
-        )
+        if isinstance(nbh, DenseNeighborhood):
+            # Dense windowed engine: bins live inside the packed maps, so
+            # filt_index is unused (pass None).
+            out = dense_depthwise_conv3d(inputs, depthwise, nbh)
+        else:
+            out = depthwise_conv3d(
+                inputs, depthwise, nbh.idx, nbh.count, filt_index,
+                window=self.window,
+            )
 
         kernel = self.param(
             "weights", _glorot, (c_in * self.depth_multiplier, self.num_out_channels)
@@ -182,6 +195,13 @@ def pool3d(
     window: int | None = None,
 ) -> jax.Array:
     """Pooling dispatch (ref utils/sph3gcn_util.py:276-297)."""
+    if isinstance(nbh, DenseNeighborhood):
+        if method == "max":
+            out, _ = dense_max_pool3d(inputs, nbh, with_index=False)
+            return out
+        if method == "avg":
+            return dense_avg_pool3d(inputs, nbh)
+        raise ValueError(f"Unknown pooling method {method!r}")
     if method == "max":
         out, _ = max_pool3d(inputs, nbh.idx, nbh.count, window=window)
         return out
@@ -202,6 +222,12 @@ def unpool3d(
     weights ``(nn_dist + eps) / (sum nn_dist + eps)`` over the sqrt-space
     distances (ref :317-321).
     """
+    if isinstance(nbh, DenseNeighborhood):
+        if method == "mean":
+            return dense_mean_interpolate(inputs, nbh)
+        if method == "weighted":
+            return dense_weighted_interpolate(inputs, nbh)
+        raise ValueError(f"Unknown unpooling method {method!r}")
     if method == "mean":
         return mean_interpolate(inputs, nbh.idx, nbh.count, window=window)
     if method == "weighted":

@@ -78,7 +78,11 @@ class StepFactory:
         (replicated onto the mesh when one is configured)."""
         extra = [sample_batch[k] for k in self.model_kwargs_keys]
         k_params, k_sample = jax.random.split(rng)
-        variables = self.model.init(
+        # jit the init: one compile instead of hundreds of eager per-op
+        # dispatches (each ~seconds over the axon relay at 10k points)
+        variables = jax.jit(
+            self.model.init, static_argnames=("train",)
+        )(
             {"params": k_params, "sample": k_sample},
             sample_batch["points"],
             *extra,
@@ -108,19 +112,28 @@ class StepFactory:
                 *extra,
                 train=True,
                 rngs=rngs,
-                mutable=["batch_stats"],
+                mutable=["batch_stats", "intermediates"],
             )
             new_stats = mutated["batch_stats"]
         else:
-            logits = self.model.apply(
-                variables, batch["points"], *extra, train=False, rngs=rngs
+            logits, mutated = self.model.apply(
+                variables, batch["points"], *extra, train=False, rngs=rngs,
+                mutable=["intermediates"],
             )
             new_stats = batch_stats
+        # Window-coverage certificate of the dense edge engine: AND of every
+        # 'dense_ok' flag the model sowed (True when dense mode is off).
+        ok = jnp.bool_(True)
+        for path, leaf in jax.tree_util.tree_leaves_with_path(
+            mutated.get("intermediates", {})
+        ):
+            if any(getattr(p, "key", None) == "dense_ok" for p in path):
+                ok &= leaf
         data_loss = self.loss_fn(logits, batch)
         total = data_loss
         if self.weight_decay is not None:
             total = total + self.weight_decay * l2_regularization(params)
-        return total, (data_loss, logits, new_stats)
+        return total, (data_loss, logits, new_stats, ok)
 
     def train_step(self):
         """Returns jitted (state, batch, rng) -> (state, metrics)."""
@@ -128,7 +141,7 @@ class StepFactory:
         def step(state: TrainState, batch, rng):
             rng = jax.random.fold_in(rng, state.step)
             grad_fn = jax.value_and_grad(self._losses, has_aux=True)
-            (total, (data_loss, logits, new_stats)), grads = grad_fn(
+            (total, (data_loss, logits, new_stats, ok)), grads = grad_fn(
                 state.params, state.batch_stats, batch, rng, True
             )
             updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
@@ -139,7 +152,10 @@ class StepFactory:
                 batch_stats=new_stats,
                 opt_state=new_opt,
             )
-            metrics = {"loss": total, "data_loss": data_loss, "logits": logits}
+            metrics = {
+                "loss": total, "data_loss": data_loss, "logits": logits,
+                "dense_ok": ok,
+            }
             return new_state, metrics
 
         if self.mesh is None:
@@ -150,17 +166,21 @@ class StepFactory:
             step,
             donate_argnums=(0,),
             in_shardings=(rep, data, rep),
-            out_shardings=(rep, {"loss": rep, "data_loss": rep, "logits": data}),
+            out_shardings=(rep, {
+                "loss": rep, "data_loss": rep, "logits": data,
+                "dense_ok": rep,
+            }),
         )
 
     def eval_step(self):
         """Returns jitted (state, batch) -> (loss, logits)."""
 
         def step(state: TrainState, batch):
-            total, (data_loss, logits, _) = self._losses(
+            total, (data_loss, logits, _, ok) = self._losses(
                 state.params, state.batch_stats, batch, jax.random.key(0), False
             )
-            out = {"loss": total, "data_loss": data_loss, "logits": logits}
+            out = {"loss": total, "data_loss": data_loss, "logits": logits,
+                   "dense_ok": ok}
             if self.item_loss_fn is not None:
                 out["item_loss"] = self.item_loss_fn(logits, batch)
             return out
@@ -169,7 +189,8 @@ class StepFactory:
             return jax.jit(step)
         rep = replicated(self.mesh)
         data = batch_sharding(self.mesh)
-        out_sh = {"loss": rep, "data_loss": rep, "logits": data}
+        out_sh = {"loss": rep, "data_loss": rep, "logits": data,
+                  "dense_ok": rep}
         if self.item_loss_fn is not None:
             out_sh["item_loss"] = data
         return jax.jit(
