@@ -121,7 +121,7 @@ def bench_s3dis(jax) -> None:
         segmentation_step_factory,
     )
 
-    cfg = s3dis_config(fast=True)
+    cfg = s3dis_config(fast=True, dense=True)
     model = SPH3DSceneSeg(cfg)
     sched = exponential_decay_lr(0.001, batch_size=BATCH_SIZE)
     tx = make_optimizer("adam", sched)

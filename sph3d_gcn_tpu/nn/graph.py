@@ -168,14 +168,21 @@ def build_graph_deconv_dense(
     need_dist: bool = False,
 ) -> tuple[DenseNeighborhood, DenseNeighborhood]:
     """Dense counterpart of :func:`build_graph_deconv`: coarse intra maps
-    plus fine->coarse inter maps for unpooling."""
+    plus fine->coarse inter maps for unpooling.
+
+    The inter graph reproduces the reference's +0.05 radius growth for
+    fine points with no coarse neighbor (ref tf_nnquery_gpu.cu:30-60, the
+    common case at the finest decoder level) with a widened window so the
+    grown slab stays covered; coverage is re-certified per tile at each
+    tile's grown radius (DenseNeighborhood.ok).
+    """
     intra = build_dense_graph(
         xyz, xyz, radius, nn_uplimit, kernel, window=window,
         self_graph=True,
     )
     inter = build_dense_graph(
-        xyz, xyz_unpool, radius, nn_uplimit, None, window=window,
-        self_graph=False, need_dist=need_dist,
+        xyz, xyz_unpool, radius, nn_uplimit, None, window=window + 384,
+        self_graph=False, need_dist=need_dist, growth_steps=12,
     )
     return intra, inter
 

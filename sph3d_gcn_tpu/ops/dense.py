@@ -61,6 +61,23 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _block_cumsum(x: jax.Array, block: int = 128) -> jax.Array:
+    """Inclusive cumsum over the last axis via 128-column blocks.
+
+    XLA lowers a plain ``cumsum`` over width W to a reduce-window doing
+    O(W) work per element; two short cumsums (within-block + block
+    offsets) cut that ~W/block-fold for the wide candidate windows.
+    """
+    w = x.shape[-1]
+    if w % block:
+        return jnp.cumsum(x, axis=-1)
+    shape = x.shape[:-1] + (w // block, block)
+    xb = x.reshape(shape)
+    inner = jnp.cumsum(xb, axis=-1)
+    offsets = jnp.cumsum(inner[..., -1], axis=-1) - inner[..., -1]
+    return (inner + offsets[..., None]).reshape(x.shape)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class DenseNeighborhood:
@@ -118,6 +135,7 @@ def build_dense_graph(
     window: int,
     self_graph: bool = False,
     need_dist: bool = False,
+    growth_steps: int = 0,
 ) -> DenseNeighborhood:
     """Dense windowed counterpart of ``build_sphere_neighbor_and_bins``.
 
@@ -132,6 +150,14 @@ def build_dense_graph(
       self_graph: query is the database (skips the zero-count growth
                 check — every query neighbors itself).
       need_dist: also emit the sqrt-space candidate distance map.
+      growth_steps: reproduce the reference's +0.05 radius growth for
+                zero-neighbor queries (ref tf_nnquery_gpu.cu:30-60) for up
+                to this many steps, densely in-window: each row selects at
+                the FIRST radius with >= 1 in-range candidate. The
+                coverage certificate then checks the slab at each tile's
+                grown radius. Only for selection-only graphs
+                (``kernel=None``) — intra graphs self-include and never
+                grow. Rows needing more growth flip ok=False.
 
     Returns:
       DenseNeighborhood (see class docstring).
@@ -178,7 +204,13 @@ def build_dense_graph(
     e_row = jnp.sum(
         (key_p[:, None, :] <= hi).astype(jnp.int32), axis=-1
     )
-    s_blk = jnp.clip(s_row // TILE, 0, (n_pad - w) // TILE)
+    s_start = s_row // TILE
+    if growth_steps:
+        # growth widens the slab on BOTH sides: start the window one block
+        # below the base-radius slab (the re-certification below checks
+        # the grown slab against this start)
+        s_start = s_start - 1
+    s_blk = jnp.clip(s_start, 0, (n_pad - w) // TILE)
     covered = jnp.all(e_row - s_blk * TILE <= w)
     ok = is_sorted & covered
 
@@ -196,14 +228,37 @@ def build_dense_graph(
         n_bins, p_bins, q_bins = kernel
         pi = math.pi
 
+    if growth_steps and kernel is not None:
+        raise ValueError(
+            "growth_steps is only supported for selection-only graphs "
+            "(kernel=None); intra graphs self-include and never grow"
+        )
+
+    def _select(d3, r):
+        in_range = (d3 < r) & (jnp.abs(d3 - r) > _BOUNDARY_EPS)
+        rank = _block_cumsum(in_range.astype(jnp.int32))
+        return in_range & (rank <= k), rank[..., -1]
+
     def process(win_c, q_c):
-        """One tile-group chunk: (B, G, W, 3), (B, G, T, 3) -> maps."""
+        """One tile-group chunk: (B, G, W, 3), (B, G, T, 3) -> maps.
+
+        Returns (packed, count, total, dist, gmax) where gmax (B, G) is
+        the max growth step used by any row of each tile (0 without
+        growth)."""
         delta = win_c[:, :, None, :, :] - q_c[:, :, :, None, :]
         d3 = jnp.sqrt(jnp.sum(delta * delta, axis=-1))   # (B, G, T, W)
-        in_range = (d3 < radius) & (jnp.abs(d3 - radius) > _BOUNDARY_EPS)
-        rank = jnp.cumsum(in_range.astype(jnp.int32), axis=-1)
-        sel = in_range & (rank <= k)
-        total = rank[..., -1]
+        sel, total = _select(d3, radius)
+        gmax = jnp.zeros(d3.shape[:2], jnp.int32)
+        if growth_steps:
+            found = total > 0
+            g_row = jnp.zeros(total.shape, jnp.int32)
+            for g in range(1, growth_steps + 1):
+                sel_g, total_g = _select(d3, radius + 0.05 * g)
+                sel = jnp.where(found[..., None], sel, sel_g)
+                total = jnp.where(found, total, total_g)
+                g_row = jnp.where(found | (total_g == 0), g_row, g)
+                found = found | (total_g > 0)
+            gmax = jnp.max(g_row, axis=-1)
         count = jnp.minimum(total, k)
         if kernel is None:
             packed = sel.astype(jnp.int8)
@@ -235,17 +290,19 @@ def build_dense_graph(
         dist_out = None
         if need_dist:
             dist_out = jnp.where(sel, jnp.sqrt(d3), 0.0)
-        return packed, count, total, dist_out
+        return packed, count, total, dist_out, gmax
 
-    packed_chunks, count_chunks, total_chunks, dist_chunks = [], [], [], []
+    packed_chunks, count_chunks, total_chunks = [], [], []
+    dist_chunks, gmax_chunks = [], []
     g = _QUERY_CHUNK_TILES
     for t0 in range(0, n_t, g):
         sl = slice(t0, min(t0 + g, n_t))
-        p_c, c_c, tot_c, d_c = process(win[:, sl], q_tiles[:, sl])
+        p_c, c_c, tot_c, d_c, g_c = process(win[:, sl], q_tiles[:, sl])
         packed_chunks.append(p_c)
         count_chunks.append(c_c)
         total_chunks.append(tot_c)
         dist_chunks.append(d_c)
+        gmax_chunks.append(g_c)
 
     packed = jnp.concatenate(packed_chunks, axis=1)
     count = jnp.concatenate(count_chunks, axis=1).reshape(batch, m_pad)
@@ -253,6 +310,24 @@ def build_dense_graph(
     dist = (
         jnp.concatenate(dist_chunks, axis=1) if need_dist else None
     )
+    if growth_steps:
+        # Re-verify the slab at each tile's grown radius: selections at
+        # radius r_eff are only exact if the grown slab still lies inside
+        # the window that was gathered at the base radius.
+        r_eff = radius + 0.05 * jnp.concatenate(
+            gmax_chunks, axis=1
+        ).astype(jnp.float32)                         # (B, nT)
+        lo_g = tile_min[..., None] - r_eff[..., None]
+        hi_g = tile_max[..., None] + r_eff[..., None]
+        s_row_g = jnp.sum(
+            (key_p[:, None, :] < lo_g).astype(jnp.int32), axis=-1
+        )
+        e_row_g = jnp.sum(
+            (key_p[:, None, :] <= hi_g).astype(jnp.int32), axis=-1
+        )
+        ok = ok & jnp.all(
+            (s_row_g >= s_blk * TILE) & (e_row_g - s_blk * TILE <= w)
+        )
 
     if not self_graph:
         # The reference grows the radius for zero-neighbor queries
@@ -289,113 +364,351 @@ def window_features(feats: jax.Array, dnbh: DenseNeighborhood) -> jax.Array:
 
 
 # ------------------------- dense depthwise conv -------------------------
+#
+# One fused Pallas op per direction. The S = A @ fw matmul runs in the
+# TRANSPOSED orientation S^T = fw^T A^T via dot_general: the output's
+# small dim is then M (C, padded to 8-row sublanes) instead of N (padded
+# to 128 lanes) — measured 1.6x faster at C=35 than the row-major form.
+# The spherical-bin contraction with the filter and the filter gradient
+# are fused in, so S never exists in HBM. W is swept by a grid dimension
+# accumulating into a VMEM scratch (in-kernel python loops would allocate
+# per-iteration buffers); C > 128 is zero-padded and swept by another
+# grid dimension.
 
-def _dense_s_kernel(packed_ref, fw_ref, s_ref):
-    """One (tile, row-chunk): S[(t,f), c] = sum_w A[(t,f), w] fw[w, c]
-    with A[(t,f), w] = [packed[t, w] == f + 1]."""
-    packed = packed_ref[0].astype(jnp.int32)      # (tc, W)
-    tc, w = packed.shape
-    f_bins = s_ref.shape[1] // tc
-    # t-major row replication: row r -> (t = r // F, f = r % F)
-    rows = jnp.broadcast_to(
-        packed[:, None, :], (tc, f_bins, w)
-    ).reshape(tc * f_bins, w)
-    f_row = lax.broadcasted_iota(jnp.int32, (tc * f_bins, w), 0) % f_bins
-    a = (rows == f_row + 1).astype(fw_ref.dtype)
-    s_ref[0] = jnp.dot(
-        a, fw_ref[0], preferred_element_type=jnp.float32
-    ).astype(s_ref.dtype)
-
-
-def _dense_s_t_kernel(packed_ref, ds_ref, dfw_ref):
-    """Accumulate dfw[w, c] = sum_(t,f) A[(t,f), w] dS[(t,f), c]."""
-    packed = packed_ref[0].astype(jnp.int32)
-    tc, w = packed.shape
-    f_bins = ds_ref.shape[1] // tc
-    rows = jnp.broadcast_to(
-        packed[:, None, :], (tc, f_bins, w)
-    ).reshape(tc * f_bins, w)
-    f_row = lax.broadcasted_iota(jnp.int32, (tc * f_bins, w), 0) % f_bins
-    a = (rows == f_row + 1).astype(ds_ref.dtype)
+def _dense_conv_fwd_kernel(packed_ref, fw_ref, filt_ref, out_ref, s_scr):
+    """Grid (k_c, i_tile, k_w): accumulate s_t over the W sweep, contract
+    the bins with the filter on the last W step."""
+    kw = pl.program_id(2)
+    n_wc = pl.num_programs(2)
+    pk = packed_ref[0].astype(jnp.int32)           # (T, wch)
+    t, wch = pk.shape
+    mult, cc, f_bins = filt_ref.shape
+    f_iota = lax.broadcasted_iota(jnp.int32, (f_bins, t, wch), 0)
+    a = (pk[None, :, :] == f_iota + 1).reshape(
+        f_bins * t, wch
+    ).astype(fw_ref.dtype)
     contrib = lax.dot_general(
-        a, ds_ref[0], (((0,), (0,)), ((), ())),
+        fw_ref[0], a, (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                               # (cc, F*T)
+
+    @pl.when(kw == 0)
+    def _():
+        s_scr[...] = contrib
+
+    @pl.when(kw > 0)
+    def _():
+        s_scr[...] += contrib
+
+    @pl.when(kw == n_wc - 1)
+    def _():
+        s3 = s_scr[...].reshape(cc, f_bins, t)
+        for r in range(mult):
+            f_r = filt_ref[r].astype(jnp.float32)   # (cc, F)
+            out_ref[0, r] = jnp.sum(
+                s3 * f_r[:, :, None], axis=1
+            ).astype(out_ref.dtype)                 # (cc, T)
+
+
+def _dense_conv_bwd_kernel(
+    packed_ref, fw_ref, filt_ref, dout_ref, dfw_ref, dfilt_ref,
+    s_scr, ds_scr,
+):
+    """Same grid as forward. Recomputes S (A never stored); emits
+    dfw^T[c, w] = sum_(f,t) dS[c,(f,t)] A[(f,t),w] per W chunk and
+    dfilt^T[r,c,f] = sum_t S[c,f,t] dout[r,c,t] on the last W step,
+    accumulated over all tiles (ref tf_conv3d_gpu.cu:33-101 semantics,
+    deterministic)."""
+    kw = pl.program_id(2)
+    n_wc = pl.num_programs(2)
+    pk = packed_ref[0].astype(jnp.int32)
+    t, wch = pk.shape
+    mult, cc, f_bins = filt_ref.shape
+    f_iota = lax.broadcasted_iota(jnp.int32, (f_bins, t, wch), 0)
+    a = (pk[None, :, :] == f_iota + 1).reshape(
+        f_bins * t, wch
+    ).astype(fw_ref.dtype)
+    contrib = lax.dot_general(
+        fw_ref[0], a, (((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+
+    @pl.when((pl.program_id(1) == 0) & (kw == 0))
+    def _():
+        dfilt_ref[...] = jnp.zeros_like(dfilt_ref)
+
+    @pl.when(kw == 0)
+    def _():
+        s_scr[...] = contrib
+        ds = jnp.zeros((cc, f_bins, t), jnp.float32)
+        for r in range(mult):
+            f_r = filt_ref[r].astype(jnp.float32)          # (cc, F)
+            dout_r = dout_ref[0, r].astype(jnp.float32)    # (cc, T)
+            ds = ds + f_r[:, :, None] * dout_r[:, None, :]
+        ds_scr[...] = ds.reshape(cc, f_bins * t)
+
+    @pl.when(kw > 0)
+    def _():
+        s_scr[...] += contrib
+
+    dfw_ref[0] = lax.dot_general(
+        ds_scr[...].astype(a.dtype), a, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dfw_ref.dtype)                          # (cc, wch)
+
+    @pl.when(kw == n_wc - 1)
+    def _():
+        s3 = s_scr[...].reshape(cc, f_bins, t)
+        for r in range(mult):
+            dout_r = dout_ref[0, r].astype(jnp.float32)
+            dfilt_ref[r] += jnp.sum(
+                s3 * dout_r[:, None, :], axis=2
+            ).astype(dfilt_ref.dtype)                # (cc, F)
+
+
+def _w_chunk(w: int) -> int:
+    return 512 if w % 512 == 0 else (256 if w % 256 == 0 else 128)
+
+
+@functools.lru_cache(maxsize=None)
+def _dense_conv_for(w: int, f_bins: int, mult: int, c_pad: int, n_cc: int,
+                    dtype_name: str):
+    dtype = jnp.dtype(dtype_name)
+    cc = c_pad // n_cc
+    wch = _w_chunk(w)
+    scratch = [
+        pltpu.VMEM((cc, f_bins * TILE), jnp.float32),
+    ]
+
+    def fwd_impl(packed, fw, filt_rcf):
+        g_dim = packed.shape[0]
+        return pl.pallas_call(
+            _dense_conv_fwd_kernel,
+            grid=(n_cc, g_dim, w // wch),
+            in_specs=[
+                pl.BlockSpec((1, TILE, wch), lambda k, i, kw: (i, 0, kw),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, wch, cc), lambda k, i, kw: (i, kw, k),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((mult, cc, f_bins),
+                             lambda k, i, kw: (0, k, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, mult, cc, TILE), lambda k, i, kw: (i, 0, k, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (g_dim, mult, c_pad, TILE), dtype
+            ),
+            scratch_shapes=scratch,
+            interpret=jax.default_backend() != "tpu",
+        )(packed, fw, filt_rcf)
+
+    def bwd(res, dout):
+        packed, fw, filt_rcf = res
+        g_dim = packed.shape[0]
+        dfw_t, dfilt_t = pl.pallas_call(
+            _dense_conv_bwd_kernel,
+            grid=(n_cc, g_dim, w // wch),
+            in_specs=[
+                pl.BlockSpec((1, TILE, wch), lambda k, i, kw: (i, 0, kw),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, wch, cc), lambda k, i, kw: (i, kw, k),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((mult, cc, f_bins),
+                             lambda k, i, kw: (0, k, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, mult, cc, TILE),
+                             lambda k, i, kw: (i, 0, k, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, cc, wch), lambda k, i, kw: (i, k, kw),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((mult, cc, f_bins),
+                             lambda k, i, kw: (0, k, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((g_dim, c_pad, w), dtype),
+                jax.ShapeDtypeStruct((mult, c_pad, f_bins), jnp.float32),
+            ],
+            scratch_shapes=scratch + [
+                pltpu.VMEM((cc, f_bins * TILE), jnp.float32),
+            ],
+            interpret=jax.default_backend() != "tpu",
+        )(packed, fw, filt_rcf, dout)
+        dfw = jnp.swapaxes(dfw_t, 1, 2)              # (g, W, C_pad)
+        return (
+            jnp.zeros(packed.shape, dtype=jax.dtypes.float0),
+            dfw,
+            dfilt_t.astype(filt_rcf.dtype),
+        )
+
+    @jax.custom_vjp
+    def f(packed, fw, filt_rcf):
+        return fwd_impl(packed, fw, filt_rcf)
+
+    f.defvjp(
+        lambda packed, fw, filt_rcf: (
+            fwd_impl(packed, fw, filt_rcf), (packed, fw, filt_rcf)
+        ),
+        bwd,
+    )
+    return f
+
+
+# Row-major variant for WIDE channel counts (C > 128): with full 128
+# output lanes the transposed orientation has no padding advantage, and
+# its per-C-chunk A rebuilds only add VPU work. Rows of A are F-MAJOR
+# (row = f * tc + t) so the in-kernel (F*tc, C) -> (F, tc, C) reshape is
+# a pure leading-dim split Mosaic accepts.
+
+def _dense_conv_rm_fwd_kernel(packed_ref, fw_ref, filt_ref, out_ref):
+    """out[t, r*C + c] = (sum_w sum_f [packed==f+1] fw[w,c] filt[r,f,c])
+    for one (tile, row-chunk); the neighbor mean is applied outside."""
+    packed = packed_ref[0].astype(jnp.int32)      # (tc, W)
+    tc, w = packed.shape
+    mult, f_bins, c = filt_ref.shape
+    f_iota = lax.broadcasted_iota(jnp.int32, (f_bins, tc, w), 0)
+    a = (packed[None, :, :] == f_iota + 1).reshape(
+        f_bins * tc, w
+    ).astype(fw_ref.dtype)
+    s = jnp.dot(
+        a, fw_ref[0], preferred_element_type=jnp.float32
+    ).reshape(f_bins, tc, c)                       # f32
+    outs = []
+    for r in range(mult):
+        f_r = filt_ref[r].astype(jnp.float32)      # (F, C)
+        outs.append(jnp.sum(s * f_r[:, None, :], axis=0))  # (tc, C)
+    out_ref[0] = jnp.concatenate(outs, axis=-1).astype(out_ref.dtype)
+
+
+def _dense_conv_rm_bwd_kernel(
+    packed_ref, fw_ref, filt_ref, dout_ref, dfw_ref, dfilt_ref
+):
+    """Recomputes S per chunk (A never stored), then:
+    dfilt[r,f,c] += sum_t S[f,t,c] dout[t, r*C+c]  (accumulated all steps)
+    dfw[w,c]     += sum_(f,t) A[(f,t),w] dS[(f,t),c],
+    with dS[f,t,c] = sum_r filt[r,f,c] dout[t, r*C+c]."""
+    packed = packed_ref[0].astype(jnp.int32)
+    tc, w = packed.shape
+    mult, f_bins, c = filt_ref.shape
+    f_iota = lax.broadcasted_iota(jnp.int32, (f_bins, tc, w), 0)
+    a = (packed[None, :, :] == f_iota + 1).reshape(
+        f_bins * tc, w
+    ).astype(fw_ref.dtype)
+    s = jnp.dot(
+        a, fw_ref[0], preferred_element_type=jnp.float32
+    ).reshape(f_bins, tc, c)
+
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _():
+        dfilt_ref[...] = jnp.zeros_like(dfilt_ref)
 
     @pl.when(pl.program_id(1) == 0)
     def _():
         dfw_ref[0] = jnp.zeros_like(dfw_ref[0])
 
-    dfw_ref[0] += contrib.astype(dfw_ref.dtype)
+    ds = jnp.zeros((f_bins, tc, c), jnp.float32)
+    for r in range(mult):
+        dout_r = dout_ref[0][:, r * c:(r + 1) * c].astype(jnp.float32)
+        f_r = filt_ref[r].astype(jnp.float32)
+        dfilt_ref[r] += jnp.sum(
+            s * dout_r[None, :, :], axis=1
+        ).astype(dfilt_ref.dtype)
+        ds = ds + f_r[:, None, :] * dout_r[None, :, :]
+    dfw_ref[0] += lax.dot_general(
+        a, ds.reshape(f_bins * tc, c).astype(a.dtype),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dfw_ref.dtype)
 
 
-def _t_chunk_for(f_bins: int, w: int, c: int, itemsize: int) -> int:
-    """Rows per kernel step: keep the A block near ~4MB (fewer grid steps
-    amortize the per-step overhead; A + fw + out still fit VMEM)."""
-    budget = 4 * 1024 * 1024
-    tc = max(1, budget // max(1, w * f_bins * itemsize))
+def _rm_t_chunk_for(f_bins: int, w: int, c: int, itemsize: int) -> int:
+    """Rows per kernel step, sized so the A block (tc*F, W) plus the f32
+    S and dS transients (tc*F, C) fit the ~16MB VMEM with headroom (fewer
+    grid steps amortize the per-step overhead)."""
+    budget = 8 * 1024 * 1024
+    per_row = f_bins * (w * itemsize + 8 * c)
+    tc = max(1, budget // max(1, per_row))
     tc = min(TILE, tc)
     while TILE % tc:
         tc -= 1
     return tc
 
 
-def _dense_s_matmul_impl(packed, featwins, f_bins):
-    g_dim, t, w = packed.shape
-    c = featwins.shape[-1]
-    tc = _t_chunk_for(f_bins, w, c, featwins.dtype.itemsize)
-    return pl.pallas_call(
-        functools.partial(_dense_s_kernel),
-        grid=(g_dim, t // tc),
-        in_specs=[
-            pl.BlockSpec((1, tc, w), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, w, c), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, tc * f_bins, c), lambda i, j: (i, j, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (g_dim, t * f_bins, c), featwins.dtype
-        ),
-        interpret=jax.default_backend() != "tpu",
-    )(packed, featwins)
-
-
 @functools.lru_cache(maxsize=None)
-def _dense_s_matmul_for(w: int, f_bins: int):
-    def bwd(res, ds):
-        (packed,) = res
+def _dense_conv_rm_for(w: int, f_bins: int, mult: int, dtype_name: str):
+    dtype = jnp.dtype(dtype_name)
+
+    def fwd_impl(packed, fw, filt_rfc):
         g_dim, t, _ = packed.shape
-        c = ds.shape[-1]
-        tc = _t_chunk_for(f_bins, w, c, ds.dtype.itemsize)
-        dfw = pl.pallas_call(
-            _dense_s_t_kernel,
+        c = fw.shape[-1]
+        tc = _rm_t_chunk_for(f_bins, w, c, dtype.itemsize)
+        return pl.pallas_call(
+            _dense_conv_rm_fwd_kernel,
             grid=(g_dim, t // tc),
             in_specs=[
                 pl.BlockSpec((1, tc, w), lambda i, j: (i, j, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tc * f_bins, c), lambda i, j: (i, j, 0),
+                pl.BlockSpec((1, w, c), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((mult, f_bins, c), lambda i, j: (0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
-                (1, w, c), lambda i, j: (i, 0, 0),
+                (1, tc, mult * c), lambda i, j: (i, j, 0),
                 memory_space=pltpu.VMEM,
             ),
-            out_shape=jax.ShapeDtypeStruct((g_dim, w, c), ds.dtype),
+            out_shape=jax.ShapeDtypeStruct((g_dim, t, mult * c), dtype),
             interpret=jax.default_backend() != "tpu",
-        )(packed, ds)
-        return (jnp.zeros(packed.shape, dtype=jax.dtypes.float0), dfw)
+        )(packed, fw, filt_rfc)
+
+    def bwd(res, dout):
+        packed, fw, filt_rfc = res
+        g_dim, t, _ = packed.shape
+        c = fw.shape[-1]
+        tc = _rm_t_chunk_for(f_bins, w, c, dtype.itemsize)
+        dfw, dfilt = pl.pallas_call(
+            _dense_conv_rm_bwd_kernel,
+            grid=(g_dim, t // tc),
+            in_specs=[
+                pl.BlockSpec((1, tc, w), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, w, c), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((mult, f_bins, c), lambda i, j: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tc, mult * c), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, w, c), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((mult, f_bins, c), lambda i, j: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((g_dim, w, c), dtype),
+                jax.ShapeDtypeStruct((mult, f_bins, c), jnp.float32),
+            ],
+            interpret=jax.default_backend() != "tpu",
+        )(packed, fw, filt_rfc, dout)
+        return (
+            jnp.zeros(packed.shape, dtype=jax.dtypes.float0),
+            dfw,
+            dfilt.astype(filt_rfc.dtype),
+        )
 
     @jax.custom_vjp
-    def f(packed, featwins):
-        return _dense_s_matmul_impl(packed, featwins, f_bins)
+    def f(packed, fw, filt_rfc):
+        return fwd_impl(packed, fw, filt_rfc)
 
     f.defvjp(
-        lambda packed, fw: (
-            _dense_s_matmul_impl(packed, fw, f_bins), (packed,)
+        lambda packed, fw, filt_rfc: (
+            fwd_impl(packed, fw, filt_rfc), (packed, fw, filt_rfc)
         ),
         bwd,
     )
@@ -428,27 +741,36 @@ def dense_depthwise_conv3d(
     m_pad = n_t * TILE
     num_out = dnbh.num_query
     compute_dtype = inputs.dtype
-    precision = (
-        lax.Precision.DEFAULT
-        if compute_dtype == jnp.bfloat16
-        else lax.Precision.HIGHEST
-    )
 
     fw = window_features(inputs, dnbh).reshape(batch * n_t, w, c_in)
     packed = dnbh.packed.reshape(batch * n_t, TILE, w)
-    s = _dense_s_matmul_for(w, f_bins)(packed, fw)
-    s = s.reshape(batch, m_pad, f_bins, c_in)
-    out = jnp.einsum(
-        "bmfc,fcr->bmcr", s, filt.astype(compute_dtype),
-        preferred_element_type=jnp.float32, precision=precision,
-    )
+    if c_in <= TILE:
+        # transposed orientation: the matmul's small dim is M (sublane
+        # padding only) instead of 128-padded N — ~1.6x at C=35
+        filt_rcf = jnp.transpose(filt, (2, 1, 0)).astype(compute_dtype)
+        out_t = _dense_conv_for(
+            w, f_bins, mult, c_in, 1, compute_dtype.name
+        )(packed, fw, filt_rcf)                     # (g, r, C, T)
+        out_t = out_t.reshape(batch, n_t, mult, c_in, TILE)
+        # (B, nT, r, C, T) -> (B, M, C, r): reference layout is
+        # channel-major with the multiplier minor (out[..., c*r + j])
+        out = jnp.transpose(out_t, (0, 1, 4, 3, 2)).reshape(
+            batch, m_pad, c_in * mult
+        )
+    else:
+        filt_rfc = jnp.transpose(filt, (2, 0, 1)).astype(compute_dtype)
+        out_r = _dense_conv_rm_for(
+            w, f_bins, mult, compute_dtype.name
+        )(packed, fw, filt_rfc)                     # (g, T, r*C) r-major
+        out_r = out_r.reshape(batch, m_pad, mult, c_in)
+        out = jnp.transpose(out_r, (0, 1, 3, 2)).reshape(
+            batch, m_pad, c_in * mult
+        )
     # The neighbor mean (ref tf_conv3d_gpu.cu:25) commutes with the linear
-    # bin contraction: scale the (33x smaller) output, not S — avoids
-    # materializing an f32 copy of S between fusions.
+    # bin contraction: scale the output, not S.
     cnt_p = jnp.pad(dnbh.count, ((0, 0), (0, m_pad - num_out)))
     inv_cnt = 1.0 / jnp.maximum(cnt_p, 1).astype(jnp.float32)
-    out = out * inv_cnt[..., None, None]
-    out = out.reshape(batch, m_pad, c_in * mult).astype(compute_dtype)
+    out = (out * inv_cnt[..., None]).astype(compute_dtype)
     return out[:, :num_out]
 
 
@@ -468,13 +790,50 @@ def _masked_window_max_impl(packed, fw):
     """(out, argmax)[g,t,c] = running masked max + FIRST maximal window
     column over the selected candidates ((finfo.min, 0) if none).
 
-    Pure XLA chunked running max. Measured on v5e this beats every Pallas
-    formulation by 40x+: the (t, w, c) mask broadcast needs a lane<->sublane
+    Pure XLA chunked running max (one reduce per chunk). A Pallas version
+    is NOT faster here: the (t, w, c) mask broadcast needs a lane<->sublane
     transpose that Mosaic lowers to scalar shuffles, while XLA streams the
-    fused compare+add+reduce at HBM speed.
+    fused compare+reduce at HBM speed.
+
+    bf16 features take a single-reduce path: (value, window-column) pairs
+    are packed into one uint32 sort key — monotone-mapped bf16 bits in the
+    high half, ``0xFFFF - w`` in the low half — so ONE running ``max``
+    yields both the max and its FIRST attaining column (larger low half =
+    smaller w), exactly the reference's strict-``>`` scan order
+    (ref tf_pool3d_gpu.cu:26).
     """
     g, t, w = packed.shape
     c = fw.shape[-1]
+    if fw.dtype == jnp.bfloat16:
+        best = jnp.zeros((g, t, c), jnp.uint32)
+        for w0, wc in _pool_chunks(w):
+            v = fw[:, w0:w0 + wc, :] + jnp.bfloat16(0.0)  # -0 -> +0
+            b = lax.bitcast_convert_type(v, jnp.uint16)
+            neg = (b & jnp.uint16(0x8000)) != 0
+            key = jnp.where(neg, ~b, b | jnp.uint16(0x8000))
+            enc = (key.astype(jnp.uint32) << 16) | jnp.uint32(
+                0xFFFF - (jnp.arange(w0, w0 + wc, dtype=jnp.uint32)[
+                    None, :, None
+                ])
+            )                                              # (G,wc,C)
+            sel = packed[:, :, w0:w0 + wc] > 0             # (G,T,wc)
+            cand = jnp.where(
+                sel[:, :, :, None], enc[:, None, :, :], 0
+            )                                              # (G,T,wc,C)
+            best = jnp.maximum(best, jnp.max(cand, axis=2))
+        key16 = (best >> 16).astype(jnp.uint16)
+        neg = (key16 & jnp.uint16(0x8000)) == 0
+        bits = jnp.where(neg, ~key16, key16 & jnp.uint16(0x7FFF))
+        out = lax.bitcast_convert_type(bits, jnp.bfloat16).astype(
+            jnp.float32
+        )
+        empty = best == 0
+        out = jnp.where(empty, _NEG, out)
+        arg = jnp.where(
+            empty, 0,
+            (0xFFFF - (best & jnp.uint32(0xFFFF))).astype(jnp.int32),
+        )
+        return out, arg
     # additive -inf penalty for unselected candidates; finfo.min + finite
     # activation rounds back to finfo.min, still fine for max/argmax
     pen = jnp.where(packed > 0, 0.0, _NEG)                 # (G,T,W) f32

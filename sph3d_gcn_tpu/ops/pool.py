@@ -97,14 +97,20 @@ def max_pool3d(
         max_index = jnp.take_along_axis(
             idx[..., None], arg_k[:, :, None, :], axis=2
         ).squeeze(2)
+        # pack through f32: indices are exact up to 2^24 (bf16 would
+        # round point ids above 256)
         return jnp.concatenate(
-            [out, max_index.astype(out.dtype)], axis=-1
+            [out.astype(jnp.float32), max_index.astype(jnp.float32)],
+            axis=-1,
         )
 
     t = chunk_size(batch, k, inputs.shape[-1], num_out)
     packed = map_output_chunks(one_chunk, num_out, t, nn_index, nn_count)
     c = inputs.shape[-1]
-    return packed[..., :c], packed[..., c:].astype(jnp.int32)
+    return (
+        packed[..., :c].astype(inputs.dtype),
+        packed[..., c:].astype(jnp.int32),
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("window",))
