@@ -28,6 +28,12 @@ def main():
     parser.add_argument("--decay_step", type=int, default=250000)
     parser.add_argument("--decay_rate", type=float, default=0.7)
     parser.add_argument("--num_input", type=int, default=10000)
+    parser.add_argument("--mode", default="parity",
+                        choices=["parity", "fast", "dense"],
+                        help="engine: 'parity' = f32 reference-parity, "
+                             "'fast' = bf16 + locality-windowed edges, "
+                             "'dense' = bf16 + dense windowed engine "
+                             "(fastest; exactness certified per step)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--num_devices", type=int, default=None,
                         help="data-parallel device count (default: all "
@@ -58,7 +64,11 @@ def main():
     from sph3d_gcn_tpu.train.checkpoint import snapshot_config
     from sph3d_gcn_tpu.train.loop import fit
 
-    cfg = modelnet_config(num_input=args.num_input)
+    mode_kw = {
+        "fast": args.mode in ("fast", "dense"),
+        "dense": args.mode == "dense",
+    }
+    cfg = modelnet_config(num_input=args.num_input, **mode_kw)
     snapshot_config(args.log_dir, cfg)
     model = SPH3DModelNet(cfg)
     schedule = exponential_decay_lr(

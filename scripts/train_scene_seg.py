@@ -36,6 +36,12 @@ def main():
                         help="ref train_s3dis.py:226 uses 1e-4")
     parser.add_argument("--num_input", type=int, default=8192)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--mode", default="parity",
+                        choices=["parity", "fast", "dense"],
+                        help="engine: 'parity' = f32 reference-parity, "
+                             "'fast' = bf16 + locality-windowed edges, "
+                             "'dense' = bf16 + dense windowed engine "
+                             "(fastest; exactness certified per step)")
     parser.add_argument("--num_devices", type=int, default=None,
                         help="data-parallel device count (default: all "
                              "available when >1); with --platform cpu, "
@@ -69,8 +75,12 @@ def main():
     from sph3d_gcn_tpu.train.checkpoint import snapshot_config
     from sph3d_gcn_tpu.train.loop import fit
 
+    mode_kw = {
+        "fast": args.mode in ("fast", "dense"),
+        "dense": args.mode == "dense",
+    }
     if args.dataset == "s3dis":
-        cfg = s3dis_config(num_input=args.num_input)
+        cfg = s3dis_config(num_input=args.num_input, **mode_kw)
         model = SPH3DSceneSeg(cfg)
         augment = s3dis_train_augment
         train_list = os.path.join(
@@ -81,14 +91,14 @@ def main():
         )
         inner_masked = True
     elif args.dataset == "scannet":
-        cfg = scannet_config(num_input=args.num_input)
+        cfg = scannet_config(num_input=args.num_input, **mode_kw)
         model = SPH3DSceneSeg(cfg)
         augment = scannet_train_augment
         train_list = os.path.join(args.data_dir, "train_files.txt")
         test_list = os.path.join(args.data_dir, "test_files.txt")
         inner_masked = True
     else:
-        cfg = ruemonge2014_config(num_input=args.num_input)
+        cfg = ruemonge2014_config(num_input=args.num_input, **mode_kw)
         model = SPH3DRueMonge(cfg)
         augment = s3dis_train_augment
         train_list = os.path.join(args.data_dir, "train_files.txt")

@@ -40,6 +40,12 @@ def main():
     parser.add_argument("--momentum", type=float, default=0.9)
     parser.add_argument("--decay_rate", type=float, default=0.7)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--mode", default="parity",
+                        choices=["parity", "fast", "dense"],
+                        help="engine: 'parity' = f32 reference-parity, "
+                             "'fast' = bf16 + locality-windowed edges, "
+                             "'dense' = bf16 + dense windowed engine "
+                             "(fastest; exactness certified per step)")
     parser.add_argument("--num_devices", type=int, default=None,
                         help="data-parallel device count (default: all "
                              "available when >1); with --platform cpu, "
@@ -69,7 +75,11 @@ def main():
     from sph3d_gcn_tpu.train.checkpoint import snapshot_config
     from sph3d_gcn_tpu.train.loop import fit
 
-    cfg = shapenet_config()
+    mode_kw = {
+        "fast": args.mode in ("fast", "dense"),
+        "dense": args.mode == "dense",
+    }
+    cfg = shapenet_config(**mode_kw)
     if args.onehot:
         model = SPH3DShapeNetOnehot(cfg, num_cls=50)
         train_files = [

@@ -56,11 +56,14 @@ def modelnet_config(
         global_multiplier=2,
     )
     if fast:
-        # Conv-edge spans measured end-to-end on axis-sorted unit-sphere
-        # surfaces (1298 / 798 / 512 rows per level incl. the 128-row tile
-        # quantum) plus overflow margin; pool windows derive from these
-        # (SPH3DConfig.pool_window).
-        cfg = _fast_mode(cfg, (1536, 1024, 640), dense=dense)
+        # Per-level row windows measured on axis-sorted unit-sphere
+        # surfaces incl. bump-modulated ellipsoids (worst measured slabs
+        # 1792 / 1152 / 640 incl. the 128-row tile quantum) plus margin;
+        # pool windows derive from these (SPH3DConfig.pool_window). The
+        # dense engine certifies coverage per step (dense_ok), so an
+        # exotic shape that exceeds these windows is reported, not
+        # silently wrong.
+        cfg = _fast_mode(cfg, (1920, 1280, 768), dense=dense)
     return cfg
 
 
