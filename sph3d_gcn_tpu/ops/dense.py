@@ -239,6 +239,18 @@ def build_dense_graph(
         rank = _block_cumsum(in_range.astype(jnp.int32))
         return in_range & (rank <= k), rank[..., -1]
 
+    if growth_steps:
+        # The reference accumulates the grown radius in float32
+        # (r += 0.05, ref tf_nnquery_gpu.cu:59); reproduce the exact
+        # sequence so boundary comparisons match bit-for-bit.
+        import numpy as _np
+
+        growth_radii = [_np.float32(radius)]
+        for _ in range(growth_steps):
+            growth_radii.append(
+                _np.float32(growth_radii[-1] + _np.float32(0.05))
+            )
+
     def process(win_c, q_c):
         """One tile-group chunk: (B, G, W, 3), (B, G, T, 3) -> maps.
 
@@ -247,17 +259,30 @@ def build_dense_graph(
         growth)."""
         delta = win_c[:, :, None, :, :] - q_c[:, :, :, None, :]
         d3 = jnp.sqrt(jnp.sum(delta * delta, axis=-1))   # (B, G, T, W)
-        sel, total = _select(d3, radius)
         gmax = jnp.zeros(d3.shape[:2], jnp.int32)
-        if growth_steps:
-            found = total > 0
-            g_row = jnp.zeros(total.shape, jnp.int32)
-            for g in range(1, growth_steps + 1):
-                sel_g, total_g = _select(d3, radius + 0.05 * g)
-                sel = jnp.where(found[..., None], sel, sel_g)
-                total = jnp.where(found, total, total_g)
-                g_row = jnp.where(found | (total_g == 0), g_row, g)
-                found = found | (total_g > 0)
+        if not growth_steps:
+            sel, total = _select(d3, radius)
+        else:
+            # In-range is monotone in the growth radius, so each
+            # candidate's FIRST including step is a sum of cheap mask
+            # passes; the expensive rank cumsum then runs exactly once at
+            # each row's first non-empty radius (identical selection to
+            # the reference's rescan loop, ref tf_nnquery_gpu.cu:30-60).
+            g_cand = jnp.zeros(d3.shape, jnp.int32)
+            for r_g in growth_radii:
+                out_g = ~(
+                    (d3 < r_g) & (jnp.abs(d3 - r_g) > _BOUNDARY_EPS)
+                )
+                g_cand = g_cand + out_g.astype(jnp.int32)
+            never = growth_steps + 1
+            g_star = jnp.min(g_cand, axis=-1)            # (B, G, T)
+            g_star = jnp.minimum(g_star, never)
+            in_range = g_cand <= g_star[..., None]
+            rank = _block_cumsum(in_range.astype(jnp.int32))
+            sel = in_range & (rank <= k)
+            total = jnp.where(g_star >= never, 0, rank[..., -1])
+            sel = sel & (total > 0)[..., None]
+            g_row = jnp.where(g_star >= never, 0, g_star)
             gmax = jnp.max(g_row, axis=-1)
         count = jnp.minimum(total, k)
         if kernel is None:
