@@ -44,7 +44,7 @@ def main():
         Checkpointer,
         load_config_snapshot,
     )
-    from sph3d_gcn_tpu.train.eval import vote_classify
+    from sph3d_gcn_tpu.train.eval import checked_eval_step, vote_classify
     from sph3d_gcn_tpu.train.metrics import (
         confusion_matrix,
         mean_class_accuracy,
@@ -72,7 +72,7 @@ def main():
     state = factory.init_state(jax.random.key(0), sample)
     ckpt = Checkpointer(args.log_dir)
     state = ckpt.restore_variables(state, args.epoch)
-    eval_step = factory.eval_step()
+    eval_step = checked_eval_step(factory)
 
     def forward(points):
         batch = {

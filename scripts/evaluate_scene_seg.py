@@ -61,7 +61,10 @@ def main():
     from sph3d_gcn_tpu.models import SPH3DRueMonge, SPH3DSceneSeg
     from sph3d_gcn_tpu.train import make_optimizer, segmentation_step_factory
     from sph3d_gcn_tpu.train.checkpoint import Checkpointer, load_config_snapshot
-    from sph3d_gcn_tpu.train.eval import coverage_eval_blocks
+    from sph3d_gcn_tpu.train.eval import (
+        checked_eval_step,
+        coverage_eval_blocks,
+    )
 
     cfg = load_config_snapshot(args.log_dir)
     model = (
@@ -92,7 +95,7 @@ def main():
     }
     state = factory.init_state(jax.random.key(0), dummy)
     state = Checkpointer(args.log_dir).restore_variables(state, args.epoch)
-    eval_step = factory.eval_step()
+    eval_step = checked_eval_step(factory)
 
     def forward(points, _ids):
         batch = {

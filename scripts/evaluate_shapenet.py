@@ -45,6 +45,7 @@ def main():
     from sph3d_gcn_tpu.train import make_optimizer, segmentation_step_factory
     from sph3d_gcn_tpu.train.checkpoint import Checkpointer, load_config_snapshot
     from sph3d_gcn_tpu.train.eval import (
+        checked_eval_step,
         coverage_eval_blocks,
         shapenet_eval_augment,
     )
@@ -86,7 +87,7 @@ def main():
     }
     state = factory.init_state(jax.random.key(0), dummy)
     state = Checkpointer(args.log_dir).restore_variables(state, args.epoch)
-    eval_step = factory.eval_step()
+    eval_step = checked_eval_step(factory)
 
     rng = np.random.default_rng(0)
     instance_ious = []

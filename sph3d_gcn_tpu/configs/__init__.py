@@ -14,7 +14,12 @@ from sph3d_gcn_tpu.configs.base import SPH3DConfig
 
 
 def _fast_mode(
-    cfg: SPH3DConfig, windows: tuple[int, ...], dense: bool = False
+    cfg: SPH3DConfig,
+    windows: tuple[int, ...],
+    dense: bool = False,
+    dec_windows: tuple[int, ...] | None = None,
+    dec_margin: int | None = None,
+    growth_steps: int | None = None,
 ) -> SPH3DConfig:
     kw = {}
     if dense:
@@ -22,6 +27,12 @@ def _fast_mode(
         # seg models in 16GB HBM without conv-block rematerialization —
         # skipping the backward recompute is worth ~17% on the seg step
         kw["remat_blocks"] = False
+    if dec_windows is not None:
+        kw["dec_windows"] = dec_windows[: len(cfg.num_sample)]
+    if dec_margin is not None:
+        kw["dec_margin"] = dec_margin
+    if growth_steps is not None:
+        kw["growth_steps"] = growth_steps
     return dataclasses.replace(
         cfg,
         compute_dtype="bfloat16",
@@ -63,14 +74,20 @@ def modelnet_config(
         global_multiplier=2,
     )
     if fast:
-        # Per-level row windows measured on axis-sorted unit-sphere
-        # surfaces incl. bump-modulated ellipsoids (worst measured slabs
-        # 1792 / 1152 / 640 incl. the 128-row tile quantum) plus margin;
-        # pool windows derive from these (SPH3DConfig.pool_window). The
-        # dense engine certifies coverage per step (dense_ok), so an
-        # exotic shape that exceeds these windows is reported, not
-        # silently wrong.
-        cfg = _fast_mode(cfg, (1920, 1280, 768), dense=dense)
+        # Calibrated by scripts/measure_windows.py (--dataset modelnet
+        # --family plain --margin 0.08, round 3) on the unit-sphere
+        # surface family the benchmark and synthetic learning runs use;
+        # worst measured slabs 1322/809/525 (enc) and 1766/1185/625
+        # (pool). Real datasets with heavier surface detail should be
+        # recalibrated with the tool (--family hard measures a
+        # bump-modulated family: enc 2045 -> windows (2304, 1152, 640)).
+        # Under-sized windows are SAFE: the per-step dense_ok certificate
+        # flags them and fit()/eval transparently re-run those batches
+        # through the exact classic engine.
+        cfg = _fast_mode(
+            cfg, (1536, 896, 640), dense=dense,
+            dec_windows=(640, 384, 256), dec_margin=128, growth_steps=2,
+        )
     return cfg
 
 
@@ -98,7 +115,13 @@ def shapenet_config(
         with_bias=False,
     )
     if fast:
-        cfg = _fast_mode(cfg, (512, 512, 512, 384), dense=dense)
+        # scripts/measure_windows.py --dataset shapenet --family plain
+        # --margin 0.08 (round 3)
+        cfg = _fast_mode(
+            cfg, (512, 512, 640, 384), dense=dense,
+            dec_windows=(384, 384, 384, 128), dec_margin=256,
+            growth_steps=2,
+        )
     return cfg
 
 
@@ -132,14 +155,24 @@ def _scene_seg_config(
         remat_blocks=(num_input >= 4096),
     )
     if fast:
-        # 1.5m scene blocks with dominant floor/wall planes: the sort axis
-        # is occupancy-chosen (ops/locality.py), worst measured slab ~1100
-        # rows at N=8192, r=0.1, plus margin; scaled by num_input.
-        win = tuple(
-            min(-(-w * num_input // 8192 // 128) * 128, 8192)
-            for w in (1792, 896, 768, 384)
+        # Calibrated by scripts/measure_windows.py (--dataset s3dis
+        # --family union --margin 0.08, round 3) over uniform 1.5m blocks
+        # (the bench generator) AND plane-heavy blocks with a dominant
+        # floor/wall (worst measured slabs enc 1386/799/578/384, pool
+        # 1783/1040/705/384, dec 532/366/345/128, dec_inter
+        # 701/493/384/128, growth 1); scaled for non-reference input
+        # sizes. Under-sized windows are SAFE (dense_ok certificate +
+        # classic-engine fallback in fit()/eval).
+        def _scale(w, cap=8192):
+            return tuple(
+                min(-(-x * num_input // 8192 // 128) * 128, cap) for x in w
+            )
+
+        cfg = _fast_mode(
+            cfg, _scale((1664, 896, 640, 384)), dense=dense,
+            dec_windows=_scale((640, 512, 384, 128)),
+            dec_margin=128, growth_steps=3,
         )
-        cfg = _fast_mode(cfg, win, dense=dense)
     return cfg
 
 

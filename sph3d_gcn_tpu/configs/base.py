@@ -61,6 +61,17 @@ class SPH3DConfig:
     # rematerialize conv blocks in backward (trades ~30% conv FLOPs for
     # activation memory; needed for the 8192-point seg models at batch 16)
     remat_blocks: bool = False
+    # Calibrated per-level decoder-graph windows (rows over the SAMPLED
+    # cloud of each level); None falls back to scaling `windows` by the
+    # subsampling ratio. Derived by scripts/measure_windows.py.
+    dec_windows: tuple[int, ...] | None = None
+    # Decoder-inter window headroom (rows beyond dec_window) for the
+    # +0.05-grown radii, and the max dense growth steps reproduced
+    # in-window (ref tf_nnquery_gpu.cu:30-60; rows needing more flip the
+    # dense_ok certificate). Derived per dataset by
+    # scripts/measure_windows.py.
+    dec_margin: int = 384
+    growth_steps: int = 12
     # Dense windowed engine (ops/dense.py): the level graphs are built as
     # (tile x window) mask/bin maps with NO per-edge index lists; conv,
     # pool and unpool consume the maps directly as MXU matmuls / masked
@@ -97,12 +108,16 @@ class SPH3DConfig:
     def dec_window(self, level: int) -> int | None:
         """Row window for the decoder pass of original level ``level``.
 
-        Decoder intra/inter edges search the SAMPLED cloud of that level
-        (num_sample[level] points) at the same radius, so the slab holds
-        proportionally fewer rows than the encoder window.
+        Prefers the calibrated ``dec_windows`` table
+        (scripts/measure_windows.py). The fallback formula scales the
+        encoder window by the subsampling ratio — decoder edges search
+        the SAMPLED cloud — but under-counts the constant 128-row tile
+        span, so calibrated tables are both tighter AND safer.
         """
         if self.windows is None:
             return None
+        if self.dec_windows is not None:
+            return self.dec_windows[level]
         n_l = self.num_input if level == 0 else self.num_sample[level - 1]
         s_l = self.num_sample[level]
         w = -(-self.windows[level] * s_l // n_l)
@@ -124,6 +139,14 @@ class SPH3DConfig:
             raise ValueError(
                 f"windows must have {num_levels} entries, got "
                 f"{len(self.windows)}"
+            )
+        if (
+            self.dec_windows is not None
+            and len(self.dec_windows) != num_levels
+        ):
+            raise ValueError(
+                f"dec_windows must have {num_levels} entries, got "
+                f"{len(self.dec_windows)}"
             )
         for field in ("radius", "nn_uplimit", "channels", "multiplier"):
             if len(getattr(self, field)) != num_levels:

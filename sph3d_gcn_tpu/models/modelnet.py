@@ -30,7 +30,11 @@ from sph3d_gcn_tpu.nn.layers import (
     pool3d,
 )
 from sph3d_gcn_tpu.ops.kernelbin import spherical_kernel
-from sph3d_gcn_tpu.ops.locality import permute_points, spatial_sort
+from sph3d_gcn_tpu.ops.locality import (
+    permute_points,
+    sort_indices_small,
+    spatial_sort,
+)
 
 _GLOBAL_RADIUS = 100.0  # ref SPH3D_modelnet.py:86 (connects all points)
 _GLOBAL_KERNEL = (8, 2, 1)  # ref SPH3D_modelnet.py:89-90, binSize 17
@@ -129,7 +133,7 @@ class SPH3DModelNet(fnn.Module):
                     if cfg.spatial_sort and sample_idx is not None:
                         # Ascending order keeps the coarse cloud axis-sorted
                         # (a subsequence of a sorted sequence).
-                        sample_idx = jnp.sort(sample_idx, axis=1)
+                        sample_idx = sort_indices_small(sample_idx)
                     xyz = gather_points(xyz, sample_idx)
                     inter = gather_neighborhood(nbh, sample_idx)
                     net = pool3d(

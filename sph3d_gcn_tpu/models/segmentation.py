@@ -34,7 +34,11 @@ from sph3d_gcn_tpu.nn.graph import (
     gather_points,
 )
 from sph3d_gcn_tpu.nn.layers import PointwiseConv3d, pool3d, unpool3d
-from sph3d_gcn_tpu.ops.locality import permute_points, spatial_sort
+from sph3d_gcn_tpu.ops.locality import (
+    permute_points,
+    sort_indices_small,
+    spatial_sort,
+)
 
 NUM_SHAPENET_CATEGORIES = 16  # ref models/SPH3D_shapenet_onehot.py:10
 
@@ -144,7 +148,7 @@ class SegEncoderDecoder(fnn.Module):
                 else:
                     if cfg.spatial_sort and sample_idx is not None:
                         # Ascending order keeps the coarse cloud axis-sorted.
-                        sample_idx = jnp.sort(sample_idx, axis=1)
+                        sample_idx = sort_indices_small(sample_idx)
                     xyz = gather_points(xyz, sample_idx)
                     xyz_layers.append(xyz)
                     inter = gather_neighborhood(nbh, sample_idx)
@@ -174,6 +178,8 @@ class SegEncoderDecoder(fnn.Module):
                     xyz_coarse, xyz_fine, radius_r[level],
                     nn_uplimit_r[level], kernel=cfg.kernel, window=dec_win,
                     need_dist=cfg.unpool_method == "weighted",
+                    dec_margin=cfg.dec_margin,
+                    growth_steps=cfg.growth_steps,
                 )
                 dense_ok &= intra.ok & inter.ok
                 filt_idx = None

@@ -20,6 +20,7 @@ from sph3d_gcn_tpu.ops.neighbor import (
     build_sphere_neighbor,
     build_sphere_neighbor_and_bins,
 )
+from sph3d_gcn_tpu.ops.locality import sort_indices_small
 from sph3d_gcn_tpu.ops.sample import (
     farthest_point_sample,
     inverse_density_sample,
@@ -135,7 +136,7 @@ def build_graph_dense(
         )
     else:
         raise ValueError(f"Unknown sampling method: {sample_method!r}")
-    return dnbh, jnp.sort(sample_index, axis=1)
+    return dnbh, sort_indices_small(sample_index)
 
 
 def build_pool_graph_dense(
@@ -166,23 +167,28 @@ def build_graph_deconv_dense(
     kernel: tuple[int, int, int],
     window: int,
     need_dist: bool = False,
+    dec_margin: int = 384,
+    growth_steps: int = 12,
 ) -> tuple[DenseNeighborhood, DenseNeighborhood]:
     """Dense counterpart of :func:`build_graph_deconv`: coarse intra maps
     plus fine->coarse inter maps for unpooling.
 
     The inter graph reproduces the reference's +0.05 radius growth for
     fine points with no coarse neighbor (ref tf_nnquery_gpu.cu:30-60, the
-    common case at the finest decoder level) with a widened window so the
-    grown slab stays covered; coverage is re-certified per tile at each
-    tile's grown radius (DenseNeighborhood.ok).
+    common case at the finest decoder level) with a window widened by
+    ``dec_margin`` rows so the grown slab stays covered; coverage is
+    re-certified per tile at each tile's grown radius
+    (DenseNeighborhood.ok). ``dec_margin`` and ``growth_steps`` are
+    dataset-calibrated (scripts/measure_windows.py).
     """
     intra = build_dense_graph(
         xyz, xyz, radius, nn_uplimit, kernel, window=window,
         self_graph=True,
     )
     inter = build_dense_graph(
-        xyz, xyz_unpool, radius, nn_uplimit, None, window=window + 384,
-        self_graph=False, need_dist=need_dist, growth_steps=12,
+        xyz, xyz_unpool, radius, nn_uplimit, None,
+        window=window + dec_margin,
+        self_graph=False, need_dist=need_dist, growth_steps=growth_steps,
     )
     return intra, inter
 

@@ -41,7 +41,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -49,33 +48,18 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from sph3d_gcn_tpu.ops.pallas.query_kernel import (
+    blocked_db,
+    dense_query_pallas,
+)
+
 TILE = 128
 _BOUNDARY_EPS = 1e-6     # ref tf_nnquery_gpu.cu:49
 _M_EPS = 1.01e-3         # ref tf_buildkernel_gpu.cu:6
-# tile-group chunk for the query's dense candidate math (bounds the
-# (B, G, T, W) f32 transients XLA materializes between fusions)
-_QUERY_CHUNK_TILES = 16
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
-
-
-def _block_cumsum(x: jax.Array, block: int = 128) -> jax.Array:
-    """Inclusive cumsum over the last axis via 128-column blocks.
-
-    XLA lowers a plain ``cumsum`` over width W to a reduce-window doing
-    O(W) work per element; two short cumsums (within-block + block
-    offsets) cut that ~W/block-fold for the wide candidate windows.
-    """
-    w = x.shape[-1]
-    if w % block:
-        return jnp.cumsum(x, axis=-1)
-    shape = x.shape[:-1] + (w // block, block)
-    xb = x.reshape(shape)
-    inner = jnp.cumsum(xb, axis=-1)
-    offsets = jnp.cumsum(inner[..., -1], axis=-1) - inner[..., -1]
-    return (inner + offsets[..., None]).reshape(x.shape)
 
 
 @jax.tree_util.register_dataclass
@@ -214,134 +198,38 @@ def build_dense_graph(
     covered = jnp.all(e_row - s_blk * TILE <= w)
     ok = is_sorted & covered
 
-    # Window coordinates: block-granular gather (B*nT*W/TILE indices).
-    blk = s_blk[..., None] + jnp.arange(w // TILE)
-    db_blocks = db_p.reshape(batch, n_pad // TILE, TILE * 3)
-    win = jnp.take_along_axis(
-        db_blocks, blk.reshape(batch, -1, 1), axis=1
-    ).reshape(batch, n_t, w, 3)
-
-    q_tiles = q_p.reshape(batch, n_t, TILE, 3)
-    k = int(nn_sample)
-
-    if kernel is not None:
-        n_bins, p_bins, q_bins = kernel
-        pi = math.pi
-
     if growth_steps and kernel is not None:
         raise ValueError(
             "growth_steps is only supported for selection-only graphs "
             "(kernel=None); intra graphs self-include and never grow"
         )
 
-    def _select(d3, r):
-        in_range = (d3 < r) & (jnp.abs(d3 - r) > _BOUNDARY_EPS)
-        rank = _block_cumsum(in_range.astype(jnp.int32))
-        return in_range & (rank <= k), rank[..., -1]
-
-    if growth_steps:
-        # The reference accumulates the grown radius in float32
-        # (r += 0.05, ref tf_nnquery_gpu.cu:59); reproduce the exact
-        # sequence so boundary comparisons match bit-for-bit.
-        import numpy as _np
-
-        growth_radii = [_np.float32(radius)]
-        for _ in range(growth_steps):
-            growth_radii.append(
-                _np.float32(growth_radii[-1] + _np.float32(0.05))
-            )
-
-    def process(win_c, q_c):
-        """One tile-group chunk: (B, G, W, 3), (B, G, T, 3) -> maps.
-
-        Returns (packed, count, total, dist, gmax) where gmax (B, G) is
-        the max growth step used by any row of each tile (0 without
-        growth)."""
-        delta = win_c[:, :, None, :, :] - q_c[:, :, :, None, :]
-        d3 = jnp.sqrt(jnp.sum(delta * delta, axis=-1))   # (B, G, T, W)
-        gmax = jnp.zeros(d3.shape[:2], jnp.int32)
-        if not growth_steps:
-            sel, total = _select(d3, radius)
-        else:
-            # In-range is monotone in the growth radius, so each
-            # candidate's FIRST including step is a sum of cheap mask
-            # passes; the expensive rank cumsum then runs exactly once at
-            # each row's first non-empty radius (identical selection to
-            # the reference's rescan loop, ref tf_nnquery_gpu.cu:30-60).
-            g_cand = jnp.zeros(d3.shape, jnp.int32)
-            for r_g in growth_radii:
-                out_g = ~(
-                    (d3 < r_g) & (jnp.abs(d3 - r_g) > _BOUNDARY_EPS)
-                )
-                g_cand = g_cand + out_g.astype(jnp.int32)
-            never = growth_steps + 1
-            g_star = jnp.min(g_cand, axis=-1)            # (B, G, T)
-            g_star = jnp.minimum(g_star, never)
-            in_range = g_cand <= g_star[..., None]
-            rank = _block_cumsum(in_range.astype(jnp.int32))
-            sel = in_range & (rank <= k)
-            total = jnp.where(g_star >= never, 0, rank[..., -1])
-            sel = sel & (total > 0)[..., None]
-            g_row = jnp.where(g_star >= never, 0, g_star)
-            gmax = jnp.max(g_row, axis=-1)
-        count = jnp.minimum(total, k)
-        if kernel is None:
-            packed = sel.astype(jnp.int8)
-        else:
-            # sqrt-space distance quirk (ref tf_nnquery_gpu.cu:54) feeds
-            # the radial bin (ref tf_buildkernel_gpu.cu:52-74).
-            nn_dist = jnp.sqrt(d3)
-            dist2d = jnp.sqrt(delta[..., 0] ** 2 + delta[..., 1] ** 2)
-            theta = jnp.arctan2(delta[..., 1], delta[..., 0])
-            theta = jnp.where(theta < pi, theta, -pi)
-            theta = jnp.maximum(theta, -pi) + pi
-            phi = jnp.clip(
-                jnp.arctan2(delta[..., 2], dist2d), -pi / 2, pi / 2
-            ) + pi / 2
-            n_id = jnp.minimum(
-                n_bins - 1, (theta * n_bins / 2.0 / pi).astype(jnp.int32)
-            )
-            p_id = jnp.minimum(
-                p_bins - 1, (phi * p_bins / pi).astype(jnp.int32)
-            )
-            gamma = nn_dist * q_bins / (radius + 1e-6)
-            q_id = jnp.minimum(q_bins - 1, gamma.astype(jnp.int32))
-            bins = q_id * p_bins * n_bins + p_id * n_bins + n_id + 1
-            is_far = (nn_dist > _M_EPS) & (
-                jnp.abs(nn_dist - _M_EPS) > 1e-6
-            )
-            bins = jnp.where(is_far, bins, 0)
-            packed = jnp.where(sel, bins + 1, 0).astype(jnp.int8)
-        dist_out = None
-        if need_dist:
-            dist_out = jnp.where(sel, jnp.sqrt(d3), 0.0)
-        return packed, count, total, dist_out, gmax
-
-    packed_chunks, count_chunks, total_chunks = [], [], []
-    dist_chunks, gmax_chunks = [], []
-    g = _QUERY_CHUNK_TILES
-    for t0 in range(0, n_t, g):
-        sl = slice(t0, min(t0 + g, n_t))
-        p_c, c_c, tot_c, d_c, g_c = process(win[:, sl], q_tiles[:, sl])
-        packed_chunks.append(p_c)
-        count_chunks.append(c_c)
-        total_chunks.append(tot_c)
-        dist_chunks.append(d_c)
-        gmax_chunks.append(g_c)
-
-    packed = jnp.concatenate(packed_chunks, axis=1)
-    count = jnp.concatenate(count_chunks, axis=1).reshape(batch, m_pad)
-    total = jnp.concatenate(total_chunks, axis=1).reshape(batch, m_pad)
-    dist = (
-        jnp.concatenate(dist_chunks, axis=1) if need_dist else None
+    # The fused Pallas query kernel builds packed/dist/growth maps in one
+    # on-core pass (ops/pallas/query_kernel.py); the certificate math
+    # around it (slab bounds, sortedness) stays in XLA. ``count`` equals
+    # min(in-range total, K) by construction of the first-K selection, so
+    # it is recovered from the packed maps with one int8 reduce.
+    k = int(nn_sample)
+    packed, dist, gmax = dense_query_pallas(
+        blocked_db(db_p),
+        q_p,
+        s_blk,
+        radius=radius,
+        k=k,
+        kernel=kernel,
+        window=w,
+        need_dist=need_dist,
+        growth_steps=growth_steps,
+        interpret=jax.default_backend() != "tpu",
+    )
+    count = jnp.sum(packed > 0, axis=-1, dtype=jnp.int32).reshape(
+        batch, m_pad
     )
     if growth_steps:
         # Re-verify the slab at each tile's grown radius: selections at
         # radius r_eff are only exact if the grown slab still lies inside
         # the window that was gathered at the base radius.
-        r_eff = radius + 0.05 * jnp.concatenate(
-            gmax_chunks, axis=1
-        ).astype(jnp.float32)                         # (B, nT)
+        r_eff = radius + 0.05 * gmax.astype(jnp.float32)  # (B, nT)
         lo_g = tile_min[..., None] - r_eff[..., None]
         hi_g = tile_max[..., None] + r_eff[..., None]
         s_row_g = jnp.sum(
@@ -359,7 +247,7 @@ def build_dense_graph(
         # (ref tf_nnquery_gpu.cu:30-60); dense mode reports that (rare)
         # case through ok=False instead — callers fall back.
         real_q = jnp.arange(m_pad)[None, :] < num_q
-        ok = ok & jnp.all(jnp.where(real_q, total, 1) > 0)
+        ok = ok & jnp.all(jnp.where(real_q, count, 1) > 0)
 
     return DenseNeighborhood(
         packed=packed,

@@ -20,6 +20,36 @@ import numpy as np
 from sph3d_gcn_tpu.data import augment as aug
 
 
+def checked_eval_step(factory):
+    """Wrap ``factory.eval_step()`` with dense-certificate enforcement.
+
+    Returns ``(state, batch) -> metrics``. When the config runs the dense
+    windowed engine and a batch's ``dense_ok`` certificate fails (window
+    coverage violated — the graph may be wrong, see ops/dense.py), the
+    batch is transparently re-run through the exact classic engine
+    (``StepFactory.classic_fallback``), so evaluation results are never
+    silently wrong. Non-dense configs pay nothing (one host bool check).
+    """
+    step = factory.eval_step()
+    dense = bool(getattr(factory.model.config, "dense_graph", False))
+    fb: dict = {}
+
+    def run(state, batch):
+        metrics = step(state, batch)
+        if dense and not bool(metrics["dense_ok"]):
+            if "step" not in fb:
+                print(
+                    "dense window coverage violated at eval: compiling the "
+                    "classic-engine fallback (exact per-edge ops)",
+                    flush=True,
+                )
+                fb["step"] = factory.classic_fallback().eval_step()
+            metrics = fb["step"](state, batch)
+        return metrics
+
+    return run
+
+
 def vote_augment(batch_xyz: np.ndarray, rng: np.random.Generator) -> np.ndarray:
     """The classification vote augmentation
     (ref evaluate_modelnet.py:71-79)."""

@@ -69,6 +69,7 @@ def fit(
     log_dir: str,
     seed: int = 0,
     log_every: int = 50,
+    on_dense_violation: str = "fallback",
 ) -> Any:
     """Train for ``num_epochs``, checkpointing per epoch, resuming from the
     latest checkpoint in ``log_dir`` if present.
@@ -80,13 +81,43 @@ def fit(
       batch_size: fixed compile-time batch size (short batches get padded).
       num_epochs: total epochs (resume-aware).
       log_dir: log + checkpoint directory.
+      on_dense_violation: what to do when a dense-engine step reports
+        ``dense_ok=False`` (window coverage violated — the graph may be
+        wrong; see ops/dense.py). 'fallback' (default) re-runs the batch
+        from the pre-step state through the exact classic engine
+        (``StepFactory.classic_fallback``); 'raise' aborts; 'warn' logs
+        and keeps the (possibly wrong) step. Irrelevant for non-dense
+        configs, where dense_ok is constant True.
 
     Returns:
       final TrainState.
     """
+    if on_dense_violation not in ("fallback", "raise", "warn"):
+        raise ValueError(
+            f"on_dense_violation must be 'fallback'|'raise'|'warn', "
+            f"got {on_dense_violation!r}"
+        )
     logger = Logger(log_dir)
     ckpt = Checkpointer(log_dir)
     rng = jax.random.key(seed)
+
+    dense_mode = bool(getattr(factory.model.config, "dense_graph", False))
+    use_fallback = dense_mode and on_dense_violation == "fallback"
+    fallback: dict[str, Any] = {}  # lazily compiled classic steps
+
+    def _fallback_step(kind: str):
+        if "factory" not in fallback:
+            fallback["factory"] = factory.classic_fallback()
+            logger.log(
+                "dense window coverage violated: compiling the classic-"
+                "engine fallback step (exact per-edge ops)"
+            )
+        if kind not in fallback:
+            fb = fallback["factory"]
+            fallback[kind] = (
+                fb.train_step(donate=False) if kind == "train" else fb.eval_step()
+            )
+        return fallback[kind]
 
     # Init from the first training batch of epoch 0.
     first = next(iter(train_batches(0)))
@@ -100,8 +131,31 @@ def fit(
         start_epoch = latest + 1
         logger.log(f"{datetime.now()} - resumed from epoch {latest}")
 
-    train_step = factory.train_step()
+    # The fallback must re-run a violating batch from the PRE-step state,
+    # so its train step cannot donate the state buffers.
+    train_step = factory.train_step(donate=not use_fallback)
     eval_step = factory.eval_step() if eval_batches is not None else None
+    violations = 0
+
+    def _check_dense(metrics, where: str) -> bool:
+        """True when the step must be redone through the classic engine."""
+        nonlocal violations
+        if not dense_mode or bool(metrics["dense_ok"]):
+            return False
+        violations += 1
+        if on_dense_violation == "raise":
+            raise RuntimeError(
+                f"dense window coverage violated during {where}; widen "
+                "SPH3DConfig.windows (scripts/measure_windows.py) or run "
+                "with on_dense_violation='fallback'"
+            )
+        logger.log(
+            f"WARNING: dense window coverage violated during {where} "
+            f"(violation #{violations}); "
+            + ("re-running via the classic engine"
+               if use_fallback else "keeping the possibly-wrong step")
+        )
+        return use_fallback
 
     for epoch in range(start_epoch, num_epochs):
         logger.log(f"**** EPOCH {epoch:03d} ****")
@@ -113,8 +167,14 @@ def fit(
         for batch in train_batches(epoch):
             batch, bsize = pad_batch(batch, batch_size)
             now = time.time()
-            state, metrics = train_step(state, batch, rng)
+            new_state, metrics = train_step(state, batch, rng)
             loss = float(metrics["loss"])  # host sync
+            if _check_dense(metrics, f"epoch {epoch} batch {batch_idx}"):
+                # Redo the batch from the PRE-step state with exact ops;
+                # the dense step's update is discarded.
+                new_state, metrics = _fallback_step("train")(state, batch, rng)
+                loss = float(metrics["loss"])
+            state = new_state
             train_time += time.time() - now
             logits = np.asarray(metrics["logits"])
             c, s = _batch_accuracy(logits, batch, bsize)
@@ -152,6 +212,8 @@ def fit(
             for batch in eval_batches():
                 batch, bsize = pad_batch(batch, batch_size)
                 metrics = eval_step(state, batch)
+                if _check_dense(metrics, f"epoch {epoch} eval"):
+                    metrics = _fallback_step("eval")(state, batch)
                 if "item_loss" in metrics:
                     # Aggregate over real items only — padded repeats of the
                     # last item would otherwise bias short final batches.
@@ -177,6 +239,12 @@ def fit(
         ckpt.save(epoch, state)
         logger.log(f"Model saved at epoch {epoch}")
 
+    if violations:
+        logger.log(
+            f"dense window coverage violations total: {violations} "
+            + ("(all re-run through the classic engine)"
+               if use_fallback else "(steps kept — results may be wrong)")
+        )
     ckpt.close()
     logger.close()
     return state

@@ -135,8 +135,38 @@ class StepFactory:
             total = total + self.weight_decay * l2_regularization(params)
         return total, (data_loss, logits, new_stats, ok)
 
-    def train_step(self):
-        """Returns jitted (state, batch, rng) -> (state, metrics)."""
+    def classic_fallback(self) -> "StepFactory":
+        """A StepFactory on the SAME parameters with the dense windowed
+        engine disabled (classic per-edge ops).
+
+        The dense engine can return provably-wrong neighborhoods when a
+        cloud exceeds the configured windows; it reports that through the
+        per-step ``dense_ok`` certificate (ops/dense.py). This factory is
+        the recovery path: identical model/params/optimizer, dense maps
+        replaced by the exact classic ops (the reference-parity engine,
+        ref tf_nnquery_gpu.cu:30-60 never returns a wrong neighborhood).
+        Param trees are identical across engines, so states interchange.
+        """
+        import dataclasses as _dc
+
+        cfg = self.model.config
+        if not getattr(cfg, "dense_graph", False):
+            return self
+        new_cfg = _dc.replace(
+            cfg,
+            dense_graph=False,
+            # the classic engine needs conv-block remat to fit full-size
+            # seg models in HBM (configs/__init__.py)
+            remat_blocks=cfg.num_input >= 4096,
+        )
+        return dataclasses.replace(self, model=self.model.clone(config=new_cfg))
+
+    def train_step(self, donate: bool = True):
+        """Returns jitted (state, batch, rng) -> (state, metrics).
+
+        ``donate=False`` keeps the input state buffers alive — required by
+        the dense-violation fallback in ``fit()``, which must be able to
+        re-run a batch from the pre-step state."""
 
         def step(state: TrainState, batch, rng):
             rng = jax.random.fold_in(rng, state.step)
@@ -158,13 +188,14 @@ class StepFactory:
             }
             return new_state, metrics
 
+        donate_argnums = (0,) if donate else ()
         if self.mesh is None:
-            return jax.jit(step, donate_argnums=(0,))
+            return jax.jit(step, donate_argnums=donate_argnums)
         rep = replicated(self.mesh)
         data = batch_sharding(self.mesh)
         return jax.jit(
             step,
-            donate_argnums=(0,),
+            donate_argnums=donate_argnums,
             in_shardings=(rep, data, rep),
             out_shardings=(rep, {
                 "loss": rep, "data_loss": rep, "logits": data,

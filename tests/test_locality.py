@@ -46,3 +46,16 @@ def test_spatial_sort_window_bound():
     d = np.linalg.norm(s[:, None, :] - s[None, :, :], axis=-1)
     qi, ni = np.where(d < radius)
     assert (np.abs(key[ni] - key[qi]) < radius).all()
+
+
+def test_sort_indices_small_matches_jnp_sort():
+    import jax.numpy as jnp
+
+    from sph3d_gcn_tpu.ops.locality import sort_indices_small
+
+    rng = np.random.default_rng(5)
+    # with-replacement draws include duplicates — the stable compare-rank
+    # sort must match jnp.sort exactly anyway
+    idx = rng.integers(0, 50, (4, 64)).astype(np.int32)
+    got = np.asarray(sort_indices_small(jnp.asarray(idx)))
+    np.testing.assert_array_equal(got, np.sort(idx, axis=1))

@@ -182,3 +182,41 @@ def test_eval_item_loss_matches_scalar():
         float(out["data_loss"]),
         rtol=1e-5,
     )
+
+
+def test_sharded_dense_engine_matches_single_device():
+    """The PRODUCTION dense windowed engine under the mesh: sharded loss
+    and logits equal the unsharded step (VERDICT r2 directive #4)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        _seg_cfg(), spatial_sort=True, dense_graph=True,
+        # radii large enough that every fine point keeps a coarse
+        # neighbor within the bounded growth schedule on gaussian clouds
+        radius=(1.5, 3.0),
+        windows=(128, 128), dec_windows=(128, 128), dec_margin=128,
+        growth_steps=6,
+    )
+    model = SPH3DSceneSeg(cfg)
+    rng = np.random.default_rng(4)
+    batch = {
+        "points": rng.standard_normal((8, 64, 9)).astype(np.float32),
+        "label": rng.integers(0, 5, (8, 64)).astype(np.int32),
+        "inner_label": np.ones((8, 64), np.int32),
+    }
+    results = []
+    for mesh in (None, make_mesh()):
+        tx = make_optimizer("adam", 0.001)
+        fac = segmentation_step_factory(model, tx, mesh=mesh, inner_masked=True)
+        b = batch if mesh is None else shard_batch(mesh, batch)
+        state = fac.init_state(jax.random.key(0), b)
+        step = fac.train_step()
+        state, metrics = step(state, b, jax.random.key(3))
+        assert bool(metrics["dense_ok"])
+        results.append(
+            (float(metrics["loss"]), np.asarray(metrics["logits"]))
+        )
+    np.testing.assert_allclose(results[0][0], results[1][0], rtol=1e-5)
+    np.testing.assert_allclose(
+        results[0][1], results[1][1], rtol=1e-4, atol=1e-5
+    )
