@@ -97,6 +97,28 @@ def main():
         mm.group(1): mm.group(2)
         for mm in re.finditer(r"%([\w\.\-]+) = [^\n]*?op_name=\"([^\"]+)\"", hlo)
     }
+    # Fusions without their own op_name: borrow the computation ROOT's
+    # metadata (fusion %fusion.N ... calls=%fused_computation.N whose ROOT
+    # carries the dominant op's op_name).
+    calls = {
+        mm.group(1): mm.group(2)
+        for mm in re.finditer(
+            r"%(fusion[\w\.\-]*) = [^\n]*?(?:calls|fusion)=%([\w\.\-]+)", hlo
+        )
+    }
+    roots = {}
+    cur = None
+    for line in hlo.splitlines():
+        mm = re.match(r"%([\w\.\-]+) \(", line)
+        if mm:
+            cur = mm.group(1)
+        elif cur and " ROOT " in line:
+            mm = re.search(r'op_name="([^"]+)"', line)
+            if mm:
+                roots[cur] = mm.group(1)
+    for fusion, comp in calls.items():
+        if fusion not in meta and comp in roots:
+            meta[fusion] = roots[comp] + " (fusion-root)"
 
     paths = sorted(
         glob.glob(os.path.join(trace_dir, "plugins/profile/*/*.trace.json.gz")),

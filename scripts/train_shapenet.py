@@ -54,11 +54,25 @@ def main():
                         help="force a jax backend (e.g. cpu); the environment's "
                              "sitecustomize may pre-register a TPU platform, so "
                              "env vars alone cannot override it")
+    parser.add_argument("--multihost", action="store_true",
+                        help="jax.distributed.initialize() before mesh "
+                             "construction (multi-host slices)")
+    parser.add_argument("--coordinator_address", default=None)
+    parser.add_argument("--process_id", type=int, default=None)
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--bn_prime_steps", type=int, default=0,
+                        help="average BN stats over this many fresh train "
+                             "batches before each eval pass (cures the "
+                             "momentum-0.99 eval lag on short runs)")
     args = parser.parse_args()
 
     from sph3d_gcn_tpu.train.cli import configure_backend, data_mesh
 
-    configure_backend(args.platform, args.num_devices)
+    configure_backend(
+        args.platform, args.num_devices, multihost=args.multihost,
+        coordinator_address=args.coordinator_address,
+        process_id=args.process_id, num_processes=args.num_processes,
+    )
     if not args.onehot and args.category is None:
         parser.error("--category is required unless --onehot")
 
@@ -154,6 +168,7 @@ def main():
         num_epochs=args.max_epoch,
         log_dir=log_dir,
         seed=args.seed,
+        bn_prime_steps=args.bn_prime_steps,
     )
 
 

@@ -260,20 +260,52 @@ def build_dense_graph(
     )
 
 
-def window_features(feats: jax.Array, dnbh: DenseNeighborhood) -> jax.Array:
+def window_features(
+    feats: jax.Array, dnbh: DenseNeighborhood, pad_to: int | None = None
+) -> jax.Array:
     """Materialize the per-tile feature windows with a block-granular
-    gather: (B, N, C) -> (B, nT, W, C). Differentiable — autodiff gives the
-    matching block-granular scatter-add."""
+    gather: (B, N, C) -> (B, nT, W', C) where W' = ``pad_to`` or W.
+    Columns beyond W gather an all-zero block (consumers see zero-mask
+    padding). Differentiable — autodiff gives the matching block-granular
+    scatter-add (gradients landing in the zero block are dropped)."""
     b, n, c = feats.shape
     n_pad = _round_up(n, TILE)
     w = dnbh.window
+    wp = pad_to or w
     n_t = dnbh.s_blk.shape[1]
-    feats_p = jnp.pad(feats, ((0, 0), (0, n_pad - n), (0, 0)))
+    # one extra zeroed TILE block at the end serves as the pad target
+    feats_p = jnp.pad(feats, ((0, 0), (0, n_pad + TILE - n), (0, 0)))
     blk = dnbh.s_blk[..., None] + jnp.arange(w // TILE)
-    fb = feats_p.reshape(b, n_pad // TILE, TILE * c)
+    if wp > w:
+        blk = jnp.concatenate(
+            [
+                blk,
+                jnp.full(
+                    (b, n_t, (wp - w) // TILE), n_pad // TILE, jnp.int32
+                ),
+            ],
+            axis=-1,
+        )
+    fb = feats_p.reshape(b, n_pad // TILE + 1, TILE * c)
+    idx = blk.reshape(b, -1)
+    if c >= 256:
+        # XLA lowers gathers with such wide rows (TILE*c >= 64KB) to a
+        # sequential while-of-dynamic-slices (~10ms each on the coarse
+        # S3DIS levels, round-3 profile). A one-hot matmul rides the MXU
+        # instead, and its transpose (the backward scatter-add) does too.
+        # Exact in bf16: each output row sums exactly one source row.
+        nb1 = n_pad // TILE + 1
+        onehot = (
+            idx[..., None] == jnp.arange(nb1, dtype=jnp.int32)
+        ).astype(feats.dtype)
+        out = jnp.einsum(
+            "bik,bkr->bir", onehot, fb,
+            preferred_element_type=jnp.float32,
+        ).astype(feats.dtype)
+        return out.reshape(b, n_t, wp, c)
     return jnp.take_along_axis(
-        fb, blk.reshape(b, -1, 1), axis=1
-    ).reshape(b, n_t, w, c)
+        fb, idx[..., None], axis=1
+    ).reshape(b, n_t, wp, c)
 
 
 # ------------------------- dense depthwise conv -------------------------
@@ -288,9 +320,13 @@ def window_features(feats: jax.Array, dnbh: DenseNeighborhood) -> jax.Array:
 # per-iteration buffers); C > 128 is zero-padded and swept by another
 # grid dimension.
 
-def _dense_conv_fwd_kernel(packed_ref, fw_ref, filt_ref, out_ref, s_scr):
+def _dense_conv_fwd_kernel(
+    packed_ref, fw_ref, filt_ref, inv_ref, out_ref, s_scr
+):
     """Grid (k_c, i_tile, k_w): accumulate s_t over the W sweep, contract
-    the bins with the filter on the last W step."""
+    the bins with the filter on the last W step. The neighbor mean
+    (ref tf_conv3d_gpu.cu:25) is fused in as the per-row ``inv_ref``
+    scale — it commutes with the linear bin contraction."""
     kw = pl.program_id(2)
     n_wc = pl.num_programs(2)
     pk = packed_ref[0].astype(jnp.int32)           # (T, wch)
@@ -316,15 +352,16 @@ def _dense_conv_fwd_kernel(packed_ref, fw_ref, filt_ref, out_ref, s_scr):
     @pl.when(kw == n_wc - 1)
     def _():
         s3 = s_scr[...].reshape(cc, f_bins, t)
+        inv = inv_ref[0]                            # (1, T)
         for r in range(mult):
             f_r = filt_ref[r].astype(jnp.float32)   # (cc, F)
-            out_ref[0, r] = jnp.sum(
-                s3 * f_r[:, :, None], axis=1
+            out_ref[0, r] = (
+                jnp.sum(s3 * f_r[:, :, None], axis=1) * inv
             ).astype(out_ref.dtype)                 # (cc, T)
 
 
 def _dense_conv_bwd_kernel(
-    packed_ref, fw_ref, filt_ref, dout_ref, dfw_ref, dfilt_ref,
+    packed_ref, fw_ref, filt_ref, inv_ref, dout_ref, dfw_ref, dfilt_ref,
     s_scr, ds_scr,
 ):
     """Same grid as forward. Recomputes S (A never stored); emits
@@ -353,10 +390,11 @@ def _dense_conv_bwd_kernel(
     @pl.when(kw == 0)
     def _():
         s_scr[...] = contrib
+        inv = inv_ref[0]                                   # (1, T)
         ds = jnp.zeros((cc, f_bins, t), jnp.float32)
         for r in range(mult):
             f_r = filt_ref[r].astype(jnp.float32)          # (cc, F)
-            dout_r = dout_ref[0, r].astype(jnp.float32)    # (cc, T)
+            dout_r = dout_ref[0, r].astype(jnp.float32) * inv  # (cc, T)
             ds = ds + f_r[:, :, None] * dout_r[:, None, :]
         ds_scr[...] = ds.reshape(cc, f_bins * t)
 
@@ -372,15 +410,29 @@ def _dense_conv_bwd_kernel(
     @pl.when(kw == n_wc - 1)
     def _():
         s3 = s_scr[...].reshape(cc, f_bins, t)
+        inv = inv_ref[0]
         for r in range(mult):
-            dout_r = dout_ref[0, r].astype(jnp.float32)
+            dout_r = dout_ref[0, r].astype(jnp.float32) * inv
             dfilt_ref[r] += jnp.sum(
                 s3 * dout_r[:, None, :], axis=2
             ).astype(dfilt_ref.dtype)                # (cc, F)
 
 
-def _w_chunk(w: int) -> int:
-    return 512 if w % 512 == 0 else (256 if w % 256 == 0 else 128)
+def _w_chunk(w: int) -> tuple[int, int]:
+    """(chunk, padded_w): prefer wide W chunks, zero-padding the window
+    (zero packed columns select nothing, so padding is exact). Cost model:
+    matmul work scales with padded_w, per-grid-step overhead ~64 columns;
+    halving the chunk width to avoid padding measured ~16% slower on the
+    1664-row S3DIS conv1 than padding to 256-column chunks."""
+    best = None
+    for chunk in (512, 256, 128):
+        if w < chunk and chunk != 128:
+            continue
+        padded = -(-w // chunk) * chunk
+        cost = padded * (1 + 64 / chunk)
+        if best is None or cost < best[0]:
+            best = (cost, chunk, padded)
+    return best[1], best[2]
 
 
 @functools.lru_cache(maxsize=None)
@@ -388,12 +440,12 @@ def _dense_conv_for(w: int, f_bins: int, mult: int, c_pad: int, n_cc: int,
                     dtype_name: str):
     dtype = jnp.dtype(dtype_name)
     cc = c_pad // n_cc
-    wch = _w_chunk(w)
+    wch, _ = _w_chunk(w)
     scratch = [
         pltpu.VMEM((cc, f_bins * TILE), jnp.float32),
     ]
 
-    def fwd_impl(packed, fw, filt_rcf):
+    def fwd_impl(packed, fw, filt_rcf, inv):
         g_dim = packed.shape[0]
         return pl.pallas_call(
             _dense_conv_fwd_kernel,
@@ -406,6 +458,8 @@ def _dense_conv_for(w: int, f_bins: int, mult: int, c_pad: int, n_cc: int,
                 pl.BlockSpec((mult, cc, f_bins),
                              lambda k, i, kw: (0, k, 0),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, TILE), lambda k, i, kw: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
                 (1, mult, cc, TILE), lambda k, i, kw: (i, 0, k, 0),
@@ -416,10 +470,10 @@ def _dense_conv_for(w: int, f_bins: int, mult: int, c_pad: int, n_cc: int,
             ),
             scratch_shapes=scratch,
             interpret=jax.default_backend() != "tpu",
-        )(packed, fw, filt_rcf)
+        )(packed, fw, filt_rcf, inv)
 
     def bwd(res, dout):
-        packed, fw, filt_rcf = res
+        packed, fw, filt_rcf, inv = res
         g_dim = packed.shape[0]
         dfw_t, dfilt_t = pl.pallas_call(
             _dense_conv_bwd_kernel,
@@ -431,6 +485,8 @@ def _dense_conv_for(w: int, f_bins: int, mult: int, c_pad: int, n_cc: int,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((mult, cc, f_bins),
                              lambda k, i, kw: (0, k, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, TILE), lambda k, i, kw: (i, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, mult, cc, TILE),
                              lambda k, i, kw: (i, 0, k, 0),
@@ -451,21 +507,22 @@ def _dense_conv_for(w: int, f_bins: int, mult: int, c_pad: int, n_cc: int,
                 pltpu.VMEM((cc, f_bins * TILE), jnp.float32),
             ],
             interpret=jax.default_backend() != "tpu",
-        )(packed, fw, filt_rcf, dout)
+        )(packed, fw, filt_rcf, inv, dout)
         dfw = jnp.swapaxes(dfw_t, 1, 2)              # (g, W, C_pad)
         return (
             jnp.zeros(packed.shape, dtype=jax.dtypes.float0),
             dfw,
             dfilt_t.astype(filt_rcf.dtype),
+            jnp.zeros_like(inv),  # counts are constants (no gradient)
         )
 
     @jax.custom_vjp
-    def f(packed, fw, filt_rcf):
-        return fwd_impl(packed, fw, filt_rcf)
+    def f(packed, fw, filt_rcf, inv):
+        return fwd_impl(packed, fw, filt_rcf, inv)
 
     f.defvjp(
-        lambda packed, fw, filt_rcf: (
-            fwd_impl(packed, fw, filt_rcf), (packed, fw, filt_rcf)
+        lambda packed, fw, filt_rcf, inv: (
+            fwd_impl(packed, fw, filt_rcf, inv), (packed, fw, filt_rcf, inv)
         ),
         bwd,
     )
@@ -655,15 +712,27 @@ def dense_depthwise_conv3d(
     num_out = dnbh.num_query
     compute_dtype = inputs.dtype
 
-    fw = window_features(inputs, dnbh).reshape(batch * n_t, w, c_in)
-    packed = dnbh.packed.reshape(batch * n_t, TILE, w)
+    # The neighbor mean (ref tf_conv3d_gpu.cu:25) commutes with the linear
+    # bin contraction; it is fused into the kernels as a per-row scale.
+    cnt_p = jnp.pad(dnbh.count, ((0, 0), (0, m_pad - num_out)))
+    inv_cnt = 1.0 / jnp.maximum(cnt_p, 1).astype(jnp.float32)
+
     if c_in <= TILE:
         # transposed orientation: the matmul's small dim is M (sublane
-        # padding only) instead of 128-padded N — ~1.6x at C=35
+        # padding only) instead of 128-padded N — ~1.6x at C=35. The
+        # window is zero-padded up to the chunk width (_w_chunk) so wide
+        # MXU chunks survive non-multiple windows.
+        _, wp = _w_chunk(w)
+        fw = window_features(inputs, dnbh, pad_to=wp).reshape(
+            batch * n_t, wp, c_in
+        )
+        packed = jnp.pad(dnbh.packed, ((0, 0), (0, 0), (0, 0), (0, wp - w)))
+        packed = packed.reshape(batch * n_t, TILE, wp)
+        inv = inv_cnt.reshape(batch * n_t, 1, TILE)
         filt_rcf = jnp.transpose(filt, (2, 1, 0)).astype(compute_dtype)
         out_t = _dense_conv_for(
-            w, f_bins, mult, c_in, 1, compute_dtype.name
-        )(packed, fw, filt_rcf)                     # (g, r, C, T)
+            wp, f_bins, mult, c_in, 1, compute_dtype.name
+        )(packed, fw, filt_rcf, inv)                # (g, r, C, T)
         out_t = out_t.reshape(batch, n_t, mult, c_in, TILE)
         # (B, nT, r, C, T) -> (B, M, C, r): reference layout is
         # channel-major with the multiplier minor (out[..., c*r + j])
@@ -671,6 +740,8 @@ def dense_depthwise_conv3d(
             batch, m_pad, c_in * mult
         )
     else:
+        fw = window_features(inputs, dnbh).reshape(batch * n_t, w, c_in)
+        packed = dnbh.packed.reshape(batch * n_t, TILE, w)
         filt_rfc = jnp.transpose(filt, (2, 0, 1)).astype(compute_dtype)
         out_r = _dense_conv_rm_for(
             w, f_bins, mult, compute_dtype.name
@@ -679,12 +750,8 @@ def dense_depthwise_conv3d(
         out = jnp.transpose(out_r, (0, 1, 3, 2)).reshape(
             batch, m_pad, c_in * mult
         )
-    # The neighbor mean (ref tf_conv3d_gpu.cu:25) commutes with the linear
-    # bin contraction: scale the output, not S.
-    cnt_p = jnp.pad(dnbh.count, ((0, 0), (0, m_pad - num_out)))
-    inv_cnt = 1.0 / jnp.maximum(cnt_p, 1).astype(jnp.float32)
-    out = (out * inv_cnt[..., None]).astype(compute_dtype)
-    return out[:, :num_out]
+        out = (out * inv_cnt[..., None]).astype(compute_dtype)
+    return out[:, :num_out].astype(compute_dtype)
 
 
 # ------------------------------ pooling --------------------------------

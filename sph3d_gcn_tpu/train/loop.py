@@ -70,6 +70,7 @@ def fit(
     seed: int = 0,
     log_every: int = 50,
     on_dense_violation: str = "fallback",
+    bn_prime_steps: int = 0,
 ) -> Any:
     """Train for ``num_epochs``, checkpointing per epoch, resuming from the
     latest checkpoint in ``log_dir`` if present.
@@ -81,6 +82,11 @@ def fit(
       batch_size: fixed compile-time batch size (short batches get padded).
       num_epochs: total epochs (resume-aware).
       log_dir: log + checkpoint directory.
+      bn_prime_steps: when > 0, replace the BN running statistics with the
+        average of per-batch statistics over this many fresh training
+        batches before each eval pass (``StepFactory.prime_step``). Cures
+        the momentum-0.99 eval lag on short runs (BASELINE.md "Eval-mode
+        note"); 0 keeps the reference's pure-EMA behavior.
       on_dense_violation: what to do when a dense-engine step reports
         ``dense_ok=False`` (window coverage violated — the graph may be
         wrong; see ops/dense.py). 'fallback' (default) re-runs the batch
@@ -203,6 +209,35 @@ def fit(
                 ms_per_batch=1000 * train_time / batch_idx,
             )
 
+        if eval_step is not None and bn_prime_steps > 0:
+            prime = fallback.setdefault(
+                "prime", factory.prime_step()
+            )
+            stats_sum = None
+            primed = 0
+            for batch in train_batches(epoch):
+                if primed >= bn_prime_steps:
+                    break
+                batch, _ = pad_batch(batch, batch_size)
+                s = prime(state, batch, jax.random.fold_in(rng, primed))
+                stats_sum = (
+                    s if stats_sum is None
+                    else jax.tree.map(lambda a, b: a + b, stats_sum, s)
+                )
+                primed += 1
+            if primed:
+                # eval-only: the training EMA in ``state`` is untouched
+                eval_state = state.replace(
+                    batch_stats=jax.tree.map(
+                        lambda a: a / primed, stats_sum
+                    )
+                )
+                logger.log(f"primed BN stats over {primed} batches")
+            else:
+                eval_state = state
+        else:
+            eval_state = state
+
         if eval_step is not None:
             logger.log(f"---- EPOCH {epoch:03d} EVALUATION ----")
             ev_correct = ev_seen = 0
@@ -211,9 +246,9 @@ def fit(
             ev_batches = 0
             for batch in eval_batches():
                 batch, bsize = pad_batch(batch, batch_size)
-                metrics = eval_step(state, batch)
+                metrics = eval_step(eval_state, batch)
                 if _check_dense(metrics, f"epoch {epoch} eval"):
-                    metrics = _fallback_step("eval")(state, batch)
+                    metrics = _fallback_step("eval")(eval_state, batch)
                 if "item_loss" in metrics:
                     # Aggregate over real items only — padded repeats of the
                     # last item would otherwise bias short final batches.

@@ -203,6 +203,48 @@ class StepFactory:
             }),
         )
 
+    def prime_step(self):
+        """Returns jitted (state, batch, rng) -> per-batch BN statistics.
+
+        The depthwise conv's neighbor-mean smoothing gives BN inputs tiny
+        batch variance, so running-average stats (momentum .99) need ~10^3
+        steps before eval-mode accuracy is meaningful (BASELINE.md
+        "Eval-mode note") — invisible on the reference's 250-epoch
+        schedule, hostile to short runs. Priming sidesteps the EMA: one
+        train-mode apply mutates stats as ``new = m*old + (1-m)*batch``,
+        so the batch statistic is recovered exactly as
+        ``(new - m*old) / (1-m)`` with no per-layer momentum plumbing;
+        ``fit(bn_prime_steps=N)`` averages it over N batches and installs
+        the result as the running stats.
+        """
+        momentum = 0.99  # nn/layers.BatchNorm default (ref sph3gcn_util.py:328)
+
+        def step(state: TrainState, batch, rng):
+            extra = [batch[k] for k in self.model_kwargs_keys]
+            k_drop, k_sample = jax.random.split(rng)
+            _, mutated = self.model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                batch["points"],
+                *extra,
+                train=True,
+                rngs={"dropout": k_drop, "sample": k_sample},
+                mutable=["batch_stats"],
+            )
+            return jax.tree.map(
+                lambda new, old: (new - momentum * old) / (1.0 - momentum),
+                mutated["batch_stats"],
+                state.batch_stats,
+            )
+
+        if self.mesh is None:
+            return jax.jit(step)
+        rep = replicated(self.mesh)
+        return jax.jit(
+            step,
+            in_shardings=(rep, batch_sharding(self.mesh), rep),
+            out_shardings=rep,
+        )
+
     def eval_step(self):
         """Returns jitted (state, batch) -> (loss, logits)."""
 

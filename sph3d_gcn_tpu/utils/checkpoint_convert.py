@@ -98,20 +98,19 @@ def convert_tf_variables(
 def load_tf_checkpoint(ckpt_path: str) -> dict[str, np.ndarray]:
     """Read all variables of a TF1 checkpoint into {name: array}.
 
-    Requires TensorFlow (an offline-tool-only dependency; the library
-    itself never imports TF).
+    Pure Python — parses the TF1 tensor-bundle format directly
+    (utils/tf1_bundle.py), so conversion runs without TensorFlow the
+    moment a reference ``model.ckpt-*`` appears.
     """
-    import tensorflow as tf  # local import by design
+    from sph3d_gcn_tpu.utils.tf1_bundle import read_bundle
 
-    reader = tf.train.load_checkpoint(ckpt_path)
-    shapes = reader.get_variable_to_shape_map()
     out = {}
-    for name in shapes:
+    for name, value in read_bundle(ckpt_path).items():
         # strip optimizer slots (Adam/Momentum accumulators)
         if any(s in name for s in ("/Adam", "/Momentum", "beta1_power",
                                    "beta2_power", "global_step")):
             continue
-        out[name] = reader.get_tensor(name)
+        out[name] = value
     return out
 
 

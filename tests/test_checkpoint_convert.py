@@ -82,3 +82,66 @@ def test_convert_roundtrip_and_errors():
     bad["mlp1/weights"] = np.zeros((2, 2), np.float32)
     with pytest.raises(ValueError):
         convert_tf_variables(variables, bad)
+
+
+def test_tf1_bundle_roundtrip(tmp_path):
+    """write_bundle -> read_bundle reproduces every tensor exactly
+    (pure-Python TF1 bundle codec, VERDICT r2 directive #6)."""
+    from sph3d_gcn_tpu.utils.tf1_bundle import read_bundle, write_bundle
+
+    rng = np.random.default_rng(0)
+    tensors = {
+        "conv1_1/depthwise_weights": rng.standard_normal(
+            (33, 16, 2)
+        ).astype(np.float32),
+        "conv1_1/weights": rng.standard_normal((32, 64)).astype(np.float32),
+        "conv1_1/bn/gamma": rng.standard_normal(64).astype(np.float32),
+        "conv1_1/bn/moving_mean": rng.standard_normal(64).astype(np.float32),
+        "global_step": np.asarray(123, np.int64),
+        "counts": rng.integers(0, 5, (7,)).astype(np.int32),
+    }
+    prefix = str(tmp_path / "model.ckpt-42")
+    write_bundle(prefix, tensors)
+    got = read_bundle(prefix)
+    assert sorted(got) == sorted(tensors)
+    for name, value in tensors.items():
+        np.testing.assert_array_equal(got[name], value)
+        assert got[name].dtype == value.dtype
+
+
+def test_tf1_bundle_to_model_variables(tmp_path):
+    """End-to-end: a synthesized reference-named bundle loads into model
+    variables through the converter without TensorFlow."""
+    from sph3d_gcn_tpu.utils.checkpoint_convert import convert_checkpoint
+    from sph3d_gcn_tpu.utils.tf1_bundle import write_bundle
+
+    cfg = modelnet_config(num_input=512)
+    model = SPH3DModelNet(cfg)
+    variables = model.init(
+        jax.random.key(0), np.zeros((1, 512, 3), np.float32)
+    )
+    names = _expected_tf_names(variables)
+    rng = np.random.default_rng(1)
+    tensors = {
+        n: rng.standard_normal(s).astype(np.float32)
+        for n, s in names.items()
+    }
+    prefix = str(tmp_path / "model.ckpt-7")
+    write_bundle(
+        prefix,
+        # optimizer slots must be ignored by the loader
+        {**tensors, "conv1_1/weights/Adam": np.zeros(2, np.float32)},
+    )
+    converted = convert_checkpoint(variables, prefix)
+    got = _expected_tf_names(converted)
+    assert sorted(got) == sorted(names)
+    np.testing.assert_array_equal(
+        np.asarray(converted["params"]["mlp1"]["weights"]),
+        tensors["mlp1/weights"],
+    )
+    np.testing.assert_array_equal(
+        np.asarray(
+            converted["batch_stats"]["mlp1"]["bn"]["BatchNorm_0"]["mean"]
+        ),
+        tensors["mlp1/bn/moving_mean"],
+    )

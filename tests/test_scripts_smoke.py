@@ -187,3 +187,27 @@ def test_train_modelnet_data_parallel_cli(tmp_path):
     )
     assert "data-parallel mesh: 2 devices" in out
     assert os.path.exists(os.path.join(log_dir, "log_train.txt"))
+
+
+def test_multihost_init_single_process():
+    """--multihost calls jax.distributed.initialize before mesh
+    construction; a 1-process group on localhost must come up cleanly
+    (subprocess: distributed init is process-global state)."""
+    import subprocess
+    import sys
+
+    code = (
+        "from sph3d_gcn_tpu.train.cli import configure_backend;"
+        "configure_backend('cpu', 2, multihost=True,"
+        " coordinator_address='localhost:12955', process_id=0,"
+        " num_processes=1);"
+        "import jax;"
+        "assert jax.process_count() == 1;"
+        "assert jax.device_count() >= 1;"
+        "print('MULTIHOST_OK')"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=120, cwd=REPO,
+    )
+    assert "MULTIHOST_OK" in out.stdout, out.stderr[-2000:]

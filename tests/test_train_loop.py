@@ -373,3 +373,44 @@ def test_checked_eval_step_falls_back(tmp_path):
         np.asarray(checked["logits"]), np.asarray(classic["logits"]),
         rtol=0, atol=0,
     )
+
+
+def test_bn_priming_matches_batch_statistics():
+    """Priming with N=1 installs exactly that batch's statistics: an
+    eval-mode forward on the same batch then equals a train-mode forward
+    (both normalize by the same batch stats; scene models have no
+    dropout). VERDICT r2 directive #7."""
+    import dataclasses
+
+    cfg = dataclasses.replace(_tiny_cfg(), with_bn=True)
+    factory = segmentation_step_factory(
+        SPH3DSceneSeg(cfg), make_optimizer("adam", 1e-3), inner_masked=True
+    )
+    rng = np.random.default_rng(9)
+    batch = {
+        "points": rng.standard_normal((4, 64, 9)).astype(np.float32),
+        "label": rng.integers(0, 4, (4, 64)).astype(np.int32),
+        "inner_label": np.ones((4, 64), np.int32),
+    }
+    state = factory.init_state(jax.random.key(0), batch)
+    stats = factory.prime_step()(state, batch, jax.random.key(1))
+    primed = state.replace(batch_stats=stats)
+
+    eval_logits = np.asarray(
+        factory.eval_step()(primed, batch)["logits"]
+    )
+    model = factory.model
+    train_logits, _ = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        batch["points"], train=True, mutable=["batch_stats", "intermediates"],
+        rngs={"dropout": jax.random.key(2), "sample": jax.random.key(3)},
+    )
+    # recovering the batch stat divides by (1 - momentum) = 0.01, which
+    # amplifies f32 rounding ~100x per BN layer — hence the loose atol
+    train_logits = np.asarray(train_logits)
+    np.testing.assert_allclose(eval_logits, train_logits, atol=3e-2)
+    # contrast: without priming, eval-mode logits are far from train-mode
+    unprimed = np.asarray(factory.eval_step()(state, batch)["logits"])
+    primed_err = np.abs(eval_logits - train_logits).max()
+    unprimed_err = np.abs(unprimed - train_logits).max()
+    assert unprimed_err > 10 * primed_err
