@@ -154,3 +154,13 @@ class SPH3DConfig:
                     f"{field} must have {num_levels} entries (one per level), "
                     f"got {len(getattr(self, field))}"
                 )
+        if len(self.kernel) != 3 or any(k < 1 for k in self.kernel):
+            raise ValueError(
+                f"kernel must be three positive ints (n, p, q), got "
+                f"{self.kernel!r}"
+            )
+        if self.sample not in ("FPS", "IDS", "random"):
+            raise ValueError(
+                f"Unknown sampling method: {self.sample!r} "
+                "(expected 'FPS', 'IDS' or 'random')"
+            )

@@ -288,11 +288,14 @@ def window_features(
         )
     fb = feats_p.reshape(b, n_pad // TILE + 1, TILE * c)
     idx = blk.reshape(b, -1)
-    if c >= 256:
-        # XLA lowers gathers with such wide rows (TILE*c >= 64KB) to a
+    if c >= 128:
+        # XLA lowers gathers with wide rows (TILE*c >= 64KB) to a
         # sequential while-of-dynamic-slices (~10ms each on the coarse
-        # S3DIS levels, round-3 profile). A one-hot matmul rides the MXU
-        # instead, and its transpose (the backward scatter-add) does too.
+        # S3DIS levels, round-3 profile), and even where the forward
+        # gather is tolerable (C=128: ~3 ms) its backward SCATTER-add
+        # costs ~12 ms per conv (round-3 fusion profile). A one-hot
+        # matmul rides the MXU instead, and its transpose (the backward
+        # scatter) does too — ~1 ms per direction at C=128.
         # Exact in bf16: each output row sums exactly one source row.
         nb1 = n_pad // TILE + 1
         onehot = (
@@ -320,110 +323,104 @@ def window_features(
 # per-iteration buffers); C > 128 is zero-padded and swept by another
 # grid dimension.
 
-def _dense_conv_fwd_kernel(
-    packed_ref, fw_ref, filt_ref, inv_ref, out_ref, s_scr
-):
-    """Grid (k_c, i_tile, k_w): accumulate s_t over the W sweep, contract
-    the bins with the filter on the last W step. The neighbor mean
-    (ref tf_conv3d_gpu.cu:25) is fused in as the per-row ``inv_ref``
-    scale — it commutes with the linear bin contraction."""
-    kw = pl.program_id(2)
-    n_wc = pl.num_programs(2)
-    pk = packed_ref[0].astype(jnp.int32)           # (T, wch)
-    t, wch = pk.shape
-    mult, cc, f_bins = filt_ref.shape
+def _conv_chunk_a(packed_ref, c, wch, f_bins, dtype):
+    """Chunk c's one-hot bin matrix A (F*T, wch) from the packed map."""
+    pk = packed_ref[0, :, pl.ds(c * wch, wch)].astype(jnp.int32)  # (T, wch)
+    t = pk.shape[0]
     f_iota = lax.broadcasted_iota(jnp.int32, (f_bins, t, wch), 0)
-    a = (pk[None, :, :] == f_iota + 1).reshape(
+    return (pk[None, :, :] == f_iota + 1).reshape(
         f_bins * t, wch
-    ).astype(fw_ref.dtype)
-    contrib = lax.dot_general(
-        fw_ref[0], a, (((0,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                               # (cc, F*T)
+    ).astype(dtype)
 
-    @pl.when(kw == 0)
-    def _():
-        s_scr[...] = contrib
 
-    @pl.when(kw > 0)
-    def _():
-        s_scr[...] += contrib
+def _dense_conv_fwd_kernel(
+    used_ref, packed_ref, fw_ref, filt_ref, inv_ref, out_ref, s_scr,
+    *, wch, n_wc,
+):
+    """Grid (k_c, g): one cell = one query tile (for one C chunk). The W
+    sweep is an in-kernel ``fori_loop`` whose trip count is the tile's
+    last nonempty chunk (``used_ref``, scalar-prefetched): the window is
+    sized for the WORST tile, so the average tile skips its all-zero
+    tail — and a dynamic loop bound is the one skip construct Mosaic
+    compiles happily (matmuls under pl.when wedge its lowering). The
+    neighbor mean (ref tf_conv3d_gpu.cu:25) is fused in as the per-row
+    ``inv_ref`` scale."""
+    used = used_ref[pl.program_id(1)]
+    mult, cc, f_bins = filt_ref.shape
+    s_scr[...] = jnp.zeros_like(s_scr)
 
-    @pl.when(kw == n_wc - 1)
-    def _():
-        s3 = s_scr[...].reshape(cc, f_bins, t)
-        inv = inv_ref[0]                            # (1, T)
-        for r in range(mult):
-            f_r = filt_ref[r].astype(jnp.float32)   # (cc, F)
-            out_ref[0, r] = (
-                jnp.sum(s3 * f_r[:, :, None], axis=1) * inv
-            ).astype(out_ref.dtype)                 # (cc, T)
+    def body(c, carry):
+        a = _conv_chunk_a(packed_ref, c, wch, f_bins, fw_ref.dtype)
+        s_scr[...] += lax.dot_general(
+            fw_ref[0, pl.ds(c * wch, wch), :], a,
+            (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                           # (cc, F*T)
+        return carry
+
+    lax.fori_loop(0, used, body, jnp.int32(0))
+    s3 = s_scr[...].reshape(cc, f_bins, TILE)
+    inv = inv_ref[0]                                # (1, T)
+    for r in range(mult):
+        f_r = filt_ref[r].astype(jnp.float32)       # (cc, F)
+        out_ref[0, r] = (
+            jnp.sum(s3 * f_r[:, :, None], axis=1) * inv
+        ).astype(out_ref.dtype)                     # (cc, T)
 
 
 def _dense_conv_bwd_kernel(
-    packed_ref, fw_ref, filt_ref, inv_ref, dout_ref, dfw_ref, dfilt_ref,
-    s_scr, ds_scr,
+    used_ref, packed_ref, fw_ref, filt_ref, inv_ref, dout_ref,
+    dfw_ref, dfilt_ref, s_scr, ds_scr,
+    *, wch, n_wc,
 ):
     """Same grid as forward. Recomputes S (A never stored); emits
     dfw^T[c, w] = sum_(f,t) dS[c,(f,t)] A[(f,t),w] per W chunk and
-    dfilt^T[r,c,f] = sum_t S[c,f,t] dout[r,c,t] on the last W step,
-    accumulated over all tiles (ref tf_conv3d_gpu.cu:33-101 semantics,
-    deterministic)."""
-    kw = pl.program_id(2)
-    n_wc = pl.num_programs(2)
-    pk = packed_ref[0].astype(jnp.int32)
-    t, wch = pk.shape
+    dfilt^T[r,c,f] = sum_t S[c,f,t] dout[r,c,t] at the end, accumulated
+    over all tiles (ref tf_conv3d_gpu.cu:33-101 semantics,
+    deterministic). Chunks past the tile's last nonempty one are skipped
+    by the loop bound; their dfw slots were zeroed up front."""
+    used = used_ref[pl.program_id(1)]
     mult, cc, f_bins = filt_ref.shape
-    f_iota = lax.broadcasted_iota(jnp.int32, (f_bins, t, wch), 0)
-    a = (pk[None, :, :] == f_iota + 1).reshape(
-        f_bins * t, wch
-    ).astype(fw_ref.dtype)
-    contrib = lax.dot_general(
-        fw_ref[0], a, (((0,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
 
-    @pl.when((pl.program_id(1) == 0) & (kw == 0))
+    @pl.when(pl.program_id(1) == 0)
     def _():
         dfilt_ref[...] = jnp.zeros_like(dfilt_ref)
 
-    @pl.when(kw == 0)
-    def _():
-        s_scr[...] = contrib
-        inv = inv_ref[0]                                   # (1, T)
-        ds = jnp.zeros((cc, f_bins, t), jnp.float32)
-        for r in range(mult):
-            f_r = filt_ref[r].astype(jnp.float32)          # (cc, F)
-            dout_r = dout_ref[0, r].astype(jnp.float32) * inv  # (cc, T)
-            ds = ds + f_r[:, :, None] * dout_r[:, None, :]
-        ds_scr[...] = ds.reshape(cc, f_bins * t)
+    s_scr[...] = jnp.zeros_like(s_scr)
+    dfw_ref[...] = jnp.zeros_like(dfw_ref)
+    inv = inv_ref[0]                                       # (1, T)
+    ds = jnp.zeros((cc, f_bins, TILE), jnp.float32)
+    for r in range(mult):
+        f_r = filt_ref[r].astype(jnp.float32)              # (cc, F)
+        dout_r = dout_ref[0, r].astype(jnp.float32) * inv  # (cc, T)
+        ds = ds + f_r[:, :, None] * dout_r[:, None, :]
+    ds_scr[...] = ds.reshape(cc, f_bins * TILE)
 
-    @pl.when(kw > 0)
-    def _():
-        s_scr[...] += contrib
+    def body(c, carry):
+        a = _conv_chunk_a(packed_ref, c, wch, f_bins, fw_ref.dtype)
+        s_scr[...] += lax.dot_general(
+            fw_ref[0, pl.ds(c * wch, wch), :], a,
+            (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dfw_ref[0, :, pl.ds(c * wch, wch)] = lax.dot_general(
+            ds_scr[...].astype(a.dtype), a, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dfw_ref.dtype)                      # (cc, wch)
+        return carry
 
-    dfw_ref[0] = lax.dot_general(
-        ds_scr[...].astype(a.dtype), a, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(dfw_ref.dtype)                          # (cc, wch)
-
-    @pl.when(kw == n_wc - 1)
-    def _():
-        s3 = s_scr[...].reshape(cc, f_bins, t)
-        inv = inv_ref[0]
-        for r in range(mult):
-            dout_r = dout_ref[0, r].astype(jnp.float32) * inv
-            dfilt_ref[r] += jnp.sum(
-                s3 * dout_r[:, None, :], axis=2
-            ).astype(dfilt_ref.dtype)                # (cc, F)
+    lax.fori_loop(0, used, body, jnp.int32(0))
+    s3 = s_scr[...].reshape(cc, f_bins, TILE)
+    for r in range(mult):
+        dout_r = dout_ref[0, r].astype(jnp.float32) * inv
+        dfilt_ref[r] += jnp.sum(
+            s3 * dout_r[:, None, :], axis=2
+        ).astype(dfilt_ref.dtype)                    # (cc, F)
 
 
 def _w_chunk(w: int) -> tuple[int, int]:
     """(chunk, padded_w): prefer wide W chunks, zero-padding the window
-    (zero packed columns select nothing, so padding is exact). Cost model:
-    matmul work scales with padded_w, per-grid-step overhead ~64 columns;
-    halving the chunk width to avoid padding measured ~16% slower on the
-    1664-row S3DIS conv1 than padding to 256-column chunks."""
+    (zero packed columns select nothing, so padding is exact)."""
     best = None
     for chunk in (512, 256, 128):
         if w < chunk and chunk != 128:
@@ -436,80 +433,96 @@ def _w_chunk(w: int) -> tuple[int, int]:
 
 
 @functools.lru_cache(maxsize=None)
-def _dense_conv_for(w: int, f_bins: int, mult: int, c_pad: int, n_cc: int,
-                    dtype_name: str):
+def _dense_conv_for(w: int, wch: int, f_bins: int, mult: int, c_pad: int,
+                    n_cc: int, dtype_name: str):
+    """w is the PADDED window (a multiple of the chunk width wch)."""
     dtype = jnp.dtype(dtype_name)
     cc = c_pad // n_cc
-    wch, _ = _w_chunk(w)
+    assert w % wch == 0
+    n_wc = w // wch
     scratch = [
         pltpu.VMEM((cc, f_bins * TILE), jnp.float32),
     ]
 
-    def fwd_impl(packed, fw, filt_rcf, inv):
+    def fwd_impl(used, packed, fw, filt_rcf, inv):
         g_dim = packed.shape[0]
         return pl.pallas_call(
-            _dense_conv_fwd_kernel,
-            grid=(n_cc, g_dim, w // wch),
-            in_specs=[
-                pl.BlockSpec((1, TILE, wch), lambda k, i, kw: (i, 0, kw),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, wch, cc), lambda k, i, kw: (i, kw, k),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((mult, cc, f_bins),
-                             lambda k, i, kw: (0, k, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, TILE), lambda k, i, kw: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec(
-                (1, mult, cc, TILE), lambda k, i, kw: (i, 0, k, 0),
-                memory_space=pltpu.VMEM,
+            functools.partial(_dense_conv_fwd_kernel, wch=wch, n_wc=n_wc),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_cc, g_dim),
+                in_specs=[
+                    pl.BlockSpec((1, TILE, w),
+                                 lambda k, i, s: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, w, cc),
+                                 lambda k, i, s: (i, 0, k),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((mult, cc, f_bins),
+                                 lambda k, i, s: (0, k, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 1, TILE),
+                                 lambda k, i, s: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, mult, cc, TILE), lambda k, i, s: (i, 0, k, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                scratch_shapes=scratch,
             ),
             out_shape=jax.ShapeDtypeStruct(
                 (g_dim, mult, c_pad, TILE), dtype
             ),
-            scratch_shapes=scratch,
             interpret=jax.default_backend() != "tpu",
-        )(packed, fw, filt_rcf, inv)
+        )(used, packed, fw, filt_rcf, inv)
 
     def bwd(res, dout):
-        packed, fw, filt_rcf, inv = res
+        used, packed, fw, filt_rcf, inv = res
         g_dim = packed.shape[0]
         dfw_t, dfilt_t = pl.pallas_call(
-            _dense_conv_bwd_kernel,
-            grid=(n_cc, g_dim, w // wch),
-            in_specs=[
-                pl.BlockSpec((1, TILE, wch), lambda k, i, kw: (i, 0, kw),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, wch, cc), lambda k, i, kw: (i, kw, k),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((mult, cc, f_bins),
-                             lambda k, i, kw: (0, k, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, TILE), lambda k, i, kw: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, mult, cc, TILE),
-                             lambda k, i, kw: (i, 0, k, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((1, cc, wch), lambda k, i, kw: (i, k, kw),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((mult, cc, f_bins),
-                             lambda k, i, kw: (0, k, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            functools.partial(_dense_conv_bwd_kernel, wch=wch, n_wc=n_wc),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_cc, g_dim),
+                in_specs=[
+                    pl.BlockSpec((1, TILE, w),
+                                 lambda k, i, s: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, w, cc),
+                                 lambda k, i, s: (i, 0, k),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((mult, cc, f_bins),
+                                 lambda k, i, s: (0, k, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 1, TILE),
+                                 lambda k, i, s: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, mult, cc, TILE),
+                                 lambda k, i, s: (i, 0, k, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=[
+                    pl.BlockSpec((1, cc, w),
+                                 lambda k, i, s: (i, k, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((mult, cc, f_bins),
+                                 lambda k, i, s: (0, k, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                scratch_shapes=scratch + [
+                    pltpu.VMEM((cc, f_bins * TILE), jnp.float32),
+                ],
+            ),
             out_shape=[
                 jax.ShapeDtypeStruct((g_dim, c_pad, w), dtype),
                 jax.ShapeDtypeStruct((mult, c_pad, f_bins), jnp.float32),
             ],
-            scratch_shapes=scratch + [
-                pltpu.VMEM((cc, f_bins * TILE), jnp.float32),
-            ],
             interpret=jax.default_backend() != "tpu",
-        )(packed, fw, filt_rcf, inv, dout)
+        )(used, packed, fw, filt_rcf, inv, dout)
         dfw = jnp.swapaxes(dfw_t, 1, 2)              # (g, W, C_pad)
         return (
+            jnp.zeros(used.shape, dtype=jax.dtypes.float0),
             jnp.zeros(packed.shape, dtype=jax.dtypes.float0),
             dfw,
             dfilt_t.astype(filt_rcf.dtype),
@@ -517,12 +530,13 @@ def _dense_conv_for(w: int, f_bins: int, mult: int, c_pad: int, n_cc: int,
         )
 
     @jax.custom_vjp
-    def f(packed, fw, filt_rcf, inv):
-        return fwd_impl(packed, fw, filt_rcf, inv)
+    def f(used, packed, fw, filt_rcf, inv):
+        return fwd_impl(used, packed, fw, filt_rcf, inv)
 
     f.defvjp(
-        lambda packed, fw, filt_rcf, inv: (
-            fwd_impl(packed, fw, filt_rcf, inv), (packed, fw, filt_rcf, inv)
+        lambda used, packed, fw, filt_rcf, inv: (
+            fwd_impl(used, packed, fw, filt_rcf, inv),
+            (used, packed, fw, filt_rcf, inv),
         ),
         bwd,
     )
@@ -685,6 +699,19 @@ def _dense_conv_rm_for(w: int, f_bins: int, mult: int, dtype_name: str):
     return f
 
 
+def _used_chunks(packed: jax.Array, wch: int) -> jax.Array:
+    """Per tile, 1 + the index of the last window chunk with any selected
+    candidate (min 1): chunks past it are all-zero and the conv kernels
+    skip their matmuls."""
+    g, _t, wp = packed.shape
+    n_wc = wp // wch
+    any_c = jnp.any(
+        (packed != 0).reshape(g, _t, n_wc, wch), axis=(1, 3)
+    )                                               # (g, n_wc)
+    idx = jnp.arange(1, n_wc + 1, dtype=jnp.int32)
+    return jnp.max(jnp.where(any_c, idx, 1), axis=1).astype(jnp.int32)
+
+
 def dense_depthwise_conv3d(
     inputs: jax.Array,
     filt: jax.Array,
@@ -722,7 +749,7 @@ def dense_depthwise_conv3d(
         # padding only) instead of 128-padded N — ~1.6x at C=35. The
         # window is zero-padded up to the chunk width (_w_chunk) so wide
         # MXU chunks survive non-multiple windows.
-        _, wp = _w_chunk(w)
+        wch, wp = _w_chunk(w)
         fw = window_features(inputs, dnbh, pad_to=wp).reshape(
             batch * n_t, wp, c_in
         )
@@ -730,9 +757,10 @@ def dense_depthwise_conv3d(
         packed = packed.reshape(batch * n_t, TILE, wp)
         inv = inv_cnt.reshape(batch * n_t, 1, TILE)
         filt_rcf = jnp.transpose(filt, (2, 1, 0)).astype(compute_dtype)
+        used = _used_chunks(packed, wch)
         out_t = _dense_conv_for(
-            wp, f_bins, mult, c_in, 1, compute_dtype.name
-        )(packed, fw, filt_rcf, inv)                # (g, r, C, T)
+            wp, wch, f_bins, mult, c_in, 1, compute_dtype.name
+        )(used, packed, fw, filt_rcf, inv)          # (g, r, C, T)
         out_t = out_t.reshape(batch, n_t, mult, c_in, TILE)
         # (B, nT, r, C, T) -> (B, M, C, r): reference layout is
         # channel-major with the multiplier minor (out[..., c*r + j])

@@ -174,3 +174,22 @@ def test_ids_and_random_sampling_modes():
         )
         assert out.shape == (2, 64, 4)
         assert np.isfinite(np.asarray(out)).all()
+
+
+def test_config_validation_rejects_misuse():
+    # Misuse at the package boundary raises at CONFIG time, not at trace
+    # time: per-level list length mismatch, non-positive kernel sizes,
+    # unknown sampling method.
+    import dataclasses
+
+    import pytest
+
+    from sph3d_gcn_tpu.configs import modelnet_config
+
+    cfg = modelnet_config()
+    with pytest.raises(ValueError, match="radius must have"):
+        dataclasses.replace(cfg, radius=(0.1,))
+    with pytest.raises(ValueError, match="kernel must be"):
+        dataclasses.replace(cfg, kernel=(0, 2, 2))
+    with pytest.raises(ValueError, match="Unknown sampling method"):
+        dataclasses.replace(cfg, sample="nope")
