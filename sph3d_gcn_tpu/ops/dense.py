@@ -210,10 +210,24 @@ def build_dense_graph(
     # min(in-range total, K) by construction of the first-K selection, so
     # it is recovered from the packed maps with one int8 reduce.
     k = int(nn_sample)
+    # Per-tile slab-END bound (TILE units, relative to s_blk): candidates
+    # past it lie beyond tile_max + radius on the sorted axis, so the
+    # query kernel provably skips those chunks (at the MAX grown radius
+    # for growth graphs). Out-of-range rows clamp inside the kernel
+    # wrapper; an uncovered slab flips the certificate anyway.
+    if growth_steps:
+        hi_m = tile_max[..., None] + (radius + 0.05 * growth_steps)
+        e_used = jnp.sum(
+            (key_p[:, None, :] <= hi_m).astype(jnp.int32), axis=-1
+        )
+    else:
+        e_used = e_row
+    u_end = -(-(e_used - s_blk * TILE) // TILE)
     packed, dist, gmax = dense_query_pallas(
         blocked_db(db_p),
         q_p,
         s_blk,
+        u_end,
         radius=radius,
         k=k,
         kernel=kernel,
@@ -787,6 +801,185 @@ def dense_depthwise_conv3d(
 _POOL_WCHUNK = 128
 _NEG = float(jnp.finfo(jnp.float32).min)
 
+# Pallas masked-max pool. Round 2's attempt lost to XLA because the
+# (t, w, c) mask broadcast needs w on SUBLANES for the mask but on
+# LANES in the packed map — Mosaic lowered the lane<->sublane transpose
+# to scalar shuffles. This version transposes the selection mask ONCE
+# per tile on the MXU (an eye-matmul), after which both broadcasts of
+# the (wsub, T, C) candidate block are legal cheap forms (lane-broadcast
+# of (wsub, T, 1), sublane-broadcast of (wsub, 1, C)) — and the W sweep
+# becomes an in-kernel ``fori_loop`` bounded by the tile's last nonempty
+# chunk (scalar-prefetched), skipping the all-zero window tail that the
+# XLA formulation pays full price for.
+
+_POOL_WSUB = 32
+_POOL_BITS = 13                   # column bits: windows up to 8192 rows
+_POOL_EMPTY = -(2 ** 29)          # additive penalty for unselected
+
+
+def _pool_keys(f, j, wsub):
+    """Composite int32 sort keys for window rows [j*wsub, (j+1)*wsub):
+    monotone-mapped bf16 bits in the high half, ``0x1FFF - w`` in the
+    low 13 bits, so ONE running max yields both the max value and its
+    FIRST attaining column — the reference's strict-``>`` scan order
+    (ref tf_pool3d_gpu.cu:26). 29 bits total: the unselected penalty
+    ``-2**29`` then keeps every penalized key strictly below every real
+    one (real keys are >= 1) with a single integer ADD — the hot 3D op
+    is one add + one max per candidate-channel."""
+    v = f + jnp.bfloat16(0.0)                        # -0 -> +0
+    b = lax.bitcast_convert_type(v, jnp.uint16).astype(jnp.int32)
+    neg = (b & 0x8000) != 0
+    key = jnp.where(neg, 0xFFFF - b, b | 0x8000)     # (wsub, cc)
+    wcol = j * wsub + lax.broadcasted_iota(jnp.int32, f.shape, 0)
+    return (key << _POOL_BITS) | ((1 << _POOL_BITS) - 1 - wcol)
+
+
+def _dense_pool_fwd_kernel(
+    used_ref, packed_ref, fw_ref, best_ref, selt_scr, *, wsub
+):
+    """Grid (k_c, g): one cell = one query tile for one C chunk. The
+    selection mask is transposed ONCE on the MXU — an eye-matmul scaled
+    by 2**29 emits the additive penalty directly — after which both
+    broadcasts of the (wsub, T, C) candidate block are legal cheap forms
+    (lane-broadcast of (wsub, T, 1), sublane-broadcast of (wsub, 1, C));
+    round 2's direct mask broadcast needed a lane<->sublane transpose
+    that Mosaic lowers to scalar shuffles."""
+    used = used_ref[pl.program_id(1)]
+    t = packed_ref.shape[1]
+    cc = fw_ref.shape[2]
+    sel = (packed_ref[0] != 0).astype(jnp.bfloat16)  # (T, W)
+    i0 = lax.broadcasted_iota(jnp.int32, (t, t), 0)
+    i1 = lax.broadcasted_iota(jnp.int32, (t, t), 1)
+    eye = (i0 == i1).astype(jnp.bfloat16) * jnp.bfloat16(2.0 ** 29)
+    selt_scr[...] = lax.dot_general(                 # (W, T) {0, 2**29}
+        sel, eye, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    def body(j, best):
+        enc = _pool_keys(fw_ref[0, pl.ds(j * wsub, wsub), :], j, wsub)
+        pen = selt_scr[pl.ds(j * wsub, wsub), :].astype(jnp.int32) \
+            + jnp.int32(_POOL_EMPTY)                  # {-2**29, 0}
+        cand = pen[:, :, None] + enc[:, None, :]      # (wsub, T, cc)
+        return jnp.maximum(best, jnp.max(cand, axis=0))
+
+    best_ref[0] = lax.fori_loop(
+        0, used, body, jnp.full((t, cc), _POOL_EMPTY, jnp.int32)
+    )
+
+
+def _dense_pool_bwd_kernel(used_ref, arg_ref, dout_ref, dfw_ref, *, wsub):
+    """dfw[w, c] = sum_t [argmax[t, c] == w] dout[t, c] — all of dout to
+    the FIRST maximal selected candidate, exactly the CUDA scatter
+    semantics (ref tf_pool3d_gpu.cu:38-50), deterministic. Window chunks
+    past the tile's last nonempty one keep the upfront zero fill."""
+    used = used_ref[pl.program_id(1)]
+    dfw_ref[...] = jnp.zeros_like(dfw_ref)
+    arg = arg_ref[0]                                 # (T, cc) int32
+    dout = dout_ref[0].astype(jnp.float32)           # (T, cc)
+
+    def body(j, carry):
+        w3 = j * wsub + lax.broadcasted_iota(
+            jnp.int32, (wsub,) + arg.shape, 0
+        )
+        m = arg[None, :, :] == w3                    # (wsub, T, cc)
+        d3 = jnp.where(m, dout[None, :, :], 0.0)
+        dfw_ref[0, pl.ds(j * wsub, wsub), :] = jnp.sum(
+            d3, axis=1
+        ).astype(dfw_ref.dtype)
+        return carry
+
+    lax.fori_loop(0, used, body, jnp.int32(0))
+
+
+@functools.lru_cache(maxsize=None)
+def _masked_window_max_pallas_for(w: int, c: int, n_cc: int,
+                                  dtype_name: str):
+    """custom_vjp Pallas masked-max factory (bf16 feature windows)."""
+    dtype = jnp.dtype(dtype_name)
+    cc = c // n_cc
+    wsub = _POOL_WSUB
+    assert w % wsub == 0 and c % n_cc == 0
+
+    def fwd_impl(used, packed, fw):
+        g = packed.shape[0]
+        best = pl.pallas_call(
+            functools.partial(_dense_pool_fwd_kernel, wsub=wsub),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_cc, g),
+                in_specs=[
+                    pl.BlockSpec((1, TILE, w), lambda k, i, s: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, w, cc), lambda k, i, s: (i, 0, k),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, TILE, cc), lambda k, i, s: (i, 0, k),
+                    memory_space=pltpu.VMEM,
+                ),
+                scratch_shapes=[pltpu.VMEM((w, TILE), jnp.float32)],
+            ),
+            out_shape=jax.ShapeDtypeStruct((g, TILE, c), jnp.int32),
+            interpret=jax.default_backend() != "tpu",
+        )(used, packed, fw)
+        # decode the composite keys (cheap (G, T, C) elementwise).
+        # Real keys are >= 1 (any non-NaN bf16 maps to key16 >= 0x80);
+        # penalized candidates are <= -1 and the empty init is -2**29,
+        # so empty rows are exactly the non-positive ones.
+        empty = best <= 0
+        key16 = ((best >> _POOL_BITS) & 0xFFFF).astype(jnp.uint16)
+        neg = (key16 & jnp.uint16(0x8000)) == 0
+        bits = jnp.where(neg, ~key16, key16 & jnp.uint16(0x7FFF))
+        out = lax.bitcast_convert_type(bits, jnp.bfloat16).astype(
+            jnp.float32
+        )
+        out = jnp.where(empty, _NEG, out)
+        arg = jnp.where(
+            empty, 0,
+            (1 << _POOL_BITS) - 1 - (best & ((1 << _POOL_BITS) - 1)),
+        ).astype(jnp.int32)
+        return out, arg
+
+    def bwd(res, cts):
+        used, arg, g = res
+        dout, _ = cts                    # int argmax has zero cotangent
+        dfw = pl.pallas_call(
+            functools.partial(_dense_pool_bwd_kernel, wsub=wsub),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_cc, g),
+                in_specs=[
+                    pl.BlockSpec((1, TILE, cc), lambda k, i, s: (i, 0, k),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, TILE, cc), lambda k, i, s: (i, 0, k),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, w, cc), lambda k, i, s: (i, 0, k),
+                    memory_space=pltpu.VMEM,
+                ),
+            ),
+            out_shape=jax.ShapeDtypeStruct((g, w, c), dtype),
+            interpret=jax.default_backend() != "tpu",
+        )(used, arg, dout.astype(jnp.float32))
+        return (
+            jnp.zeros(used.shape, dtype=jax.dtypes.float0),
+            jnp.zeros((g, TILE, w), dtype=jax.dtypes.float0),
+            dfw,
+        )
+
+    @jax.custom_vjp
+    def f(used, packed, fw):
+        return fwd_impl(used, packed, fw)
+
+    def fwd_rule(used, packed, fw):
+        out, arg = fwd_impl(used, packed, fw)
+        return (out, arg), (used, arg, packed.shape[0])
+
+    f.defvjp(fwd_rule, bwd)
+    return f
+
 
 def _pool_chunks(w: int):
     return [
@@ -915,7 +1108,19 @@ def dense_max_pool3d(
 
     fw = window_features(inputs, dnbh).reshape(batch * n_t, w, c)
     packed = dnbh.packed.reshape(batch * n_t, TILE, w)
-    out, arg = _masked_window_max_for(w, inputs.dtype.name)(packed, fw)
+    if (
+        inputs.dtype == jnp.bfloat16
+        and w % _POOL_WSUB == 0
+        and w <= (1 << _POOL_BITS)
+        and (c % 128 == 0 or c == 64)
+    ):
+        n_cc = max(c // 128, 1)
+        used = _used_chunks(packed, _POOL_WSUB)
+        out, arg = _masked_window_max_pallas_for(
+            w, c, n_cc, inputs.dtype.name
+        )(used, packed, fw)
+    else:
+        out, arg = _masked_window_max_for(w, inputs.dtype.name)(packed, fw)
     # empty rows (padding) hold finfo.min; the ref leaves 0 there
     out = jnp.where(out <= _NEG / 2, 0.0, out)
     out = out.reshape(batch, m_pad, c)[:, :num_out].astype(inputs.dtype)

@@ -135,7 +135,7 @@ def _bins(dx, dy, dz, d3, radius, kernel):
 
 
 def _query_kernel(
-    sblk_ref, q_ref, db_ref, *rest,
+    sblk_ref, uend_ref, q_ref, db_ref, *rest,
     radius, k, kernel, n_chunks, n_tiles, n_blocks, need_dist,
 ):
     if need_dist:
@@ -145,10 +145,18 @@ def _query_kernel(
     g = pl.program_id(0)
     b = g // n_tiles
     s = sblk_ref[g]
+    # chunks past the tile's provable slab end (sorted-axis compare
+    # count, ops/dense.py) contain no in-range candidate: skip them and
+    # zero-fill the maps upfront. The prefix-count rank is unaffected
+    # (skipped chunks contribute zero in-range candidates by proof).
+    ue = uend_ref[g]
     dma = pltpu.make_async_copy(
         db_ref.at[pl.ds(b * n_blocks + s, n_chunks)], win_scr, sem
     )
     dma.start()
+    packed_ref[...] = jnp.zeros_like(packed_ref)
+    if need_dist:
+        dist_ref[...] = jnp.zeros_like(dist_ref)
     q = q_ref[0]
     qx = q[:, 0:1]
     qy = q[:, 1:2]
@@ -177,12 +185,12 @@ def _query_kernel(
         return off + inner[:, TILE - 1:TILE]
 
     lax.fori_loop(
-        0, n_chunks, body, jnp.zeros((TILE, 1), jnp.float32)
+        0, ue, body, jnp.zeros((TILE, 1), jnp.float32)
     )
 
 
 def _growth_kernel(
-    sblk_ref, q_ref, db_ref, *rest,
+    sblk_ref, uend_ref, q_ref, db_ref, *rest,
     growth_radii, k, n_chunks, n_tiles, n_blocks, need_dist,
 ):
     if need_dist:
@@ -194,10 +202,17 @@ def _growth_kernel(
     g = pl.program_id(0)
     b = g // n_tiles
     s = sblk_ref[g]
+    # slab-end bound at the MAX grown radius: skipped chunks are out of
+    # range at every growth step (g_cand == never), so the row minimum
+    # and the rank prefix are both unaffected.
+    ue = uend_ref[g]
     dma = pltpu.make_async_copy(
         db_ref.at[pl.ds(b * n_blocks + s, n_chunks)], win_scr, sem
     )
     dma.start()
+    packed_ref[...] = jnp.zeros_like(packed_ref)
+    if need_dist:
+        dist_ref[...] = jnp.zeros_like(dist_ref)
     q = q_ref[0]
     qx = q[:, 0:1]
     qy = q[:, 1:2]
@@ -215,7 +230,7 @@ def _growth_kernel(
         return jnp.minimum(gstar, jnp.min(g_cand, axis=1, keepdims=True))
 
     gstar = lax.fori_loop(
-        0, n_chunks, pass1, jnp.full((TILE, 1), never, jnp.float32)
+        0, ue, pass1, jnp.full((TILE, 1), never, jnp.float32)
     )
     gstar = jnp.minimum(gstar, never)
     alive = gstar < never
@@ -236,7 +251,7 @@ def _growth_kernel(
             )
         return off + inner[:, TILE - 1:TILE]
 
-    lax.fori_loop(0, n_chunks, pass2, jnp.zeros((TILE, 1), jnp.float32))
+    lax.fori_loop(0, ue, pass2, jnp.zeros((TILE, 1), jnp.float32))
     # per-row growth step actually used, broadcast over lanes (writing the
     # (T, 1) sublane vector as a lane vector would need a transpose)
     g_row = jnp.where(alive, gstar, 0.0)
@@ -264,6 +279,7 @@ def dense_query_pallas(
     db_blk: jax.Array,
     q_pad: jax.Array,
     s_blk: jax.Array,
+    u_end: jax.Array,
     *,
     radius: float,
     k: int,
@@ -280,6 +296,10 @@ def dense_query_pallas(
         (:func:`blocked_db`; pad value 2e9).
       q_pad: (B, M_pad, 3) f32 query coords (pad 1e9).
       s_blk: (B, nT) int32 per-tile window start in TILE-row blocks.
+      u_end: (B, nT) int32 per-tile count of window chunks that can
+        contain in-range candidates (provable slab-end bound, in TILE
+        units relative to ``s_blk``); chunks past it are skipped and
+        zero-filled.
       radius, k, kernel, window, need_dist, growth_steps: as
         ops.dense.build_dense_graph.
 
@@ -293,6 +313,9 @@ def dense_query_pallas(
     n_blocks = db_blk.shape[0] // batch
     grid = batch * n_t
     sblk_flat = s_blk.reshape(grid).astype(jnp.int32)
+    uend_flat = jnp.clip(
+        u_end.reshape(grid).astype(jnp.int32), 1, n_chunks
+    )
 
     if growth_steps and kernel is not None:
         raise ValueError("growth is selection-only (kernel=None)")
@@ -305,7 +328,7 @@ def dense_query_pallas(
         jax.ShapeDtypeStruct((grid, TILE, window), jnp.int8),
     ]
     out_specs = [
-        pl.BlockSpec((1, TILE, window), lambda g, s: (g, 0, 0),
+        pl.BlockSpec((1, TILE, window), lambda g, s, u: (g, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     scratch = [
@@ -321,7 +344,7 @@ def dense_query_pallas(
             jax.ShapeDtypeStruct((grid, TILE, TILE), jnp.int8)
         )
         out_specs.append(
-            pl.BlockSpec((1, TILE, TILE), lambda g, s: (g, 0, 0),
+            pl.BlockSpec((1, TILE, TILE), lambda g, s, u: (g, 0, 0),
                          memory_space=pltpu.VMEM)
         )
         kern = functools.partial(
@@ -339,7 +362,7 @@ def dense_query_pallas(
             jax.ShapeDtypeStruct((grid, TILE, window), jnp.float32)
         )
         out_specs.append(
-            pl.BlockSpec((1, TILE, window), lambda g, s: (g, 0, 0),
+            pl.BlockSpec((1, TILE, window), lambda g, s, u: (g, 0, 0),
                          memory_space=pltpu.VMEM)
         )
     scratch.append(pltpu.SemaphoreType.DMA)
@@ -347,12 +370,12 @@ def dense_query_pallas(
     outs = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(grid,),
             in_specs=[
                 pl.BlockSpec(
                     (1, TILE, 3),
-                    lambda g, s: (g // n_t, g % n_t, 0),
+                    lambda g, s, u: (g // n_t, g % n_t, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(memory_space=pltpu.ANY),
@@ -362,7 +385,7 @@ def dense_query_pallas(
         ),
         out_shape=out_shape,
         interpret=interpret,
-    )(sblk_flat, q_pad, db_blk)
+    )(sblk_flat, uend_flat, q_pad, db_blk)
 
     packed = outs[0].reshape(batch, n_t, TILE, window)
     pos = 1
