@@ -70,7 +70,9 @@ class DenseNeighborhood:
     Attributes:
       packed: (B, nT, TILE, W) int8 — 0 where the candidate is not a
         selected neighbor, else ``filter_bin + 1`` (so the self-loop bin 0
-        is stored as 1). With ``kernel=None`` selected candidates store 1.
+        is stored as 1). With ``kernel=None`` selected candidates store
+        their RANK (1..k_max, the in-range prefix count in window order;
+        see ``k_max``).
       s_blk:  (B, nT) int32 window start in TILE-row blocks.
       count:  (B, M) int32 = min(in-range count, nn_sample), as the
         reference clamps (ref tf_nnquery_gpu.cu:56-62).
@@ -89,6 +91,9 @@ class DenseNeighborhood:
     ok: jax.Array
     num_query: int = dataclasses.field(metadata={"static": True}, default=0)
     num_db: int = dataclasses.field(metadata={"static": True}, default=0)
+    # > 0 iff packed holds neighbor ranks 1..k_max (selection-only maps
+    # with nn_sample <= 127): the MXU-compacted pool keys on this.
+    k_max: int = dataclasses.field(metadata={"static": True}, default=0)
 
     @property
     def window(self) -> int:
@@ -271,6 +276,7 @@ def build_dense_graph(
         ok=ok,
         num_query=num_q,
         num_db=num_db,
+        k_max=k if (kernel is None and k <= 127) else 0,
     )
 
 
@@ -981,6 +987,201 @@ def _masked_window_max_pallas_for(w: int, c: int, n_cc: int,
     return f
 
 
+# Rank-compacted max pool: the structural win over both the XLA masked
+# max and the windowed Pallas kernel above. Selection-only maps store
+# each neighbor's RANK (1..K, K = nn_sample <= 127; query_kernel.py), so
+# the (T, W) window compacts to K <= 64 candidate rows per query via a
+# k-major one-hot MATMUL on the MXU — (K*T, W) @ (W, C) — and the max
+# runs over K rows instead of W ~ 1792 columns: a ~W/K cut of the VPU
+# volume that dominated the window-sweep kernels. Ranks are assigned in
+# window order, so first-maximal-k == first-maximal-window-column and
+# the reference's strict-> scan-order tie-break is preserved
+# (ref tf_pool3d_gpu.cu:26). The backward compacts dout the same way
+# (dcomp[k*T+t] = dout[t] iff argmax k matches) and scatters through the
+# transposed one-hot, again on the MXU (ref tf_pool3d_gpu.cu:38-50
+# semantics, deterministic).
+
+def _rank_pool_fwd_kernel(
+    used_ref, cnt_ref, packed_ref, fw_ref, best_ref, s_scr,
+    *, wch, kchunk, n_kc,
+):
+    """Grid (k_c, g). Composite int32 keys as in :func:`_pool_keys`:
+    monotone bf16 bits << 13 | (8191 - k), one running max for value AND
+    first attaining rank; invalid rows (k >= count) get the additive
+    ``_POOL_EMPTY`` penalty."""
+    used = used_ref[pl.program_id(1)]
+    t = packed_ref.shape[1]
+    cc = fw_ref.shape[2]
+    cnt = cnt_ref[0]                                  # (1, T) int32
+
+    def ki_body(ki, best):
+        s_scr[...] = jnp.zeros_like(s_scr)
+
+        def body(c, carry):
+            pk = packed_ref[0, :, pl.ds(c * wch, wch)].astype(jnp.int32)
+            k_iota = lax.broadcasted_iota(jnp.int32, (kchunk, t, wch), 0)
+            r = (pk[None, :, :] == k_iota + ki * kchunk + 1).reshape(
+                kchunk * t, wch
+            ).astype(fw_ref.dtype)
+            s_scr[...] += lax.dot_general(
+                r, fw_ref[0, pl.ds(c * wch, wch), :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                         # (kchunk*T, cc)
+            return carry
+
+        lax.fori_loop(0, used, body, jnp.int32(0))
+        s3 = s_scr[...].reshape(kchunk, t, cc) + 0.0  # -0 -> +0
+        b16 = lax.bitcast_convert_type(
+            s3.astype(jnp.bfloat16), jnp.uint16
+        ).astype(jnp.int32)
+        neg = (b16 & 0x8000) != 0
+        mono = jnp.where(neg, 0xFFFF - b16, b16 | 0x8000)
+        kg3 = ki * kchunk + lax.broadcasted_iota(jnp.int32, s3.shape, 0)
+        kg2 = ki * kchunk + lax.broadcasted_iota(jnp.int32, (kchunk, t), 0)
+        pen2 = jnp.where(kg2 < cnt, 0, jnp.int32(_POOL_EMPTY))
+        key = ((mono << _POOL_BITS) | (8191 - kg3)) + pen2[:, :, None]
+        return jnp.maximum(best, jnp.max(key, axis=0))
+
+    best_ref[0] = lax.fori_loop(
+        0, n_kc, ki_body, jnp.full((t, cc), _POOL_EMPTY, jnp.int32)
+    )
+
+
+def _rank_pool_bwd_kernel(
+    used_ref, packed_ref, arg_ref, dout_ref, dfw_ref, dfw_scr,
+    *, wch, kchunk, n_kc,
+):
+    """dfw = R^T @ dcomp per window chunk, accumulated in f32; arg is the
+    K-space argmax (-1 on empty rows, which therefore get nothing)."""
+    used = used_ref[pl.program_id(1)]
+    t = packed_ref.shape[1]
+    cc = dout_ref.shape[2]
+    dfw_scr[...] = jnp.zeros_like(dfw_scr)
+    arg = arg_ref[0]                                  # (T, cc) int32
+    dout32 = dout_ref[0].astype(jnp.float32)          # (T, cc)
+
+    def ki_body(ki, carry):
+        kg3 = ki * kchunk + lax.broadcasted_iota(
+            jnp.int32, (kchunk, t, cc), 0
+        )
+        dcomp = jnp.where(arg[None, :, :] == kg3, dout32[None, :, :], 0.0)
+        dcomp = dcomp.reshape(kchunk * t, cc).astype(dfw_ref.dtype)
+
+        def body(c, carry2):
+            pk = packed_ref[0, :, pl.ds(c * wch, wch)].astype(jnp.int32)
+            k_iota = lax.broadcasted_iota(jnp.int32, (kchunk, t, wch), 0)
+            r = (pk[None, :, :] == k_iota + ki * kchunk + 1).reshape(
+                kchunk * t, wch
+            ).astype(dcomp.dtype)
+            dfw_scr[pl.ds(c * wch, wch), :] += lax.dot_general(
+                r, dcomp, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                         # (wch, cc)
+            return carry2
+
+        lax.fori_loop(0, used, body, jnp.int32(0))
+        return carry
+
+    lax.fori_loop(0, n_kc, ki_body, jnp.int32(0))
+    dfw_ref[0] = dfw_scr[...].astype(dfw_ref.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _rank_window_max_for(wp: int, wch: int, c: int, n_cc: int,
+                         kchunk: int, n_kc: int, dtype_name: str):
+    """custom_vjp factory for the rank-compacted masked max."""
+    dtype = jnp.dtype(dtype_name)
+    cc = c // n_cc
+    assert wp % wch == 0 and c % n_cc == 0
+
+    def fwd_impl(used, counts, packed, fw):
+        g = packed.shape[0]
+        best = pl.pallas_call(
+            functools.partial(
+                _rank_pool_fwd_kernel, wch=wch, kchunk=kchunk, n_kc=n_kc
+            ),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_cc, g),
+                in_specs=[
+                    pl.BlockSpec((1, 1, TILE), lambda k, i, s: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, TILE, wp), lambda k, i, s: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, wp, cc), lambda k, i, s: (i, 0, k),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, TILE, cc), lambda k, i, s: (i, 0, k),
+                    memory_space=pltpu.VMEM,
+                ),
+                scratch_shapes=[
+                    pltpu.VMEM((kchunk * TILE, cc), jnp.float32)
+                ],
+            ),
+            out_shape=jax.ShapeDtypeStruct((g, TILE, c), jnp.int32),
+            interpret=jax.default_backend() != "tpu",
+        )(used, counts, packed, fw)
+        # real keys are > 0 (mono >= 0x8000 for any non-negative bf16,
+        # and 8191 - k > 8000 even at mono == 0), penalized/empty < 0
+        empty = best <= 0
+        key16 = ((best >> _POOL_BITS) & 0xFFFF).astype(jnp.uint16)
+        neg = (key16 & jnp.uint16(0x8000)) == 0
+        bits = jnp.where(neg, ~key16, key16 & jnp.uint16(0x7FFF))
+        out = lax.bitcast_convert_type(bits, jnp.bfloat16).astype(
+            jnp.float32
+        )
+        out = jnp.where(empty, _NEG, out)
+        arg = jnp.where(empty, -1, 8191 - (best & 8191)).astype(jnp.int32)
+        return out, arg
+
+    def bwd(res, cts):
+        used, packed, arg, g = res
+        dout, _ = cts                    # int argmax has zero cotangent
+        dfw = pl.pallas_call(
+            functools.partial(
+                _rank_pool_bwd_kernel, wch=wch, kchunk=kchunk, n_kc=n_kc
+            ),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_cc, g),
+                in_specs=[
+                    pl.BlockSpec((1, TILE, wp), lambda k, i, s: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, TILE, cc), lambda k, i, s: (i, 0, k),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, TILE, cc), lambda k, i, s: (i, 0, k),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, wp, cc), lambda k, i, s: (i, 0, k),
+                    memory_space=pltpu.VMEM,
+                ),
+                scratch_shapes=[pltpu.VMEM((wp, cc), jnp.float32)],
+            ),
+            out_shape=jax.ShapeDtypeStruct((g, wp, c), dtype),
+            interpret=jax.default_backend() != "tpu",
+        )(used, packed, arg, dout.astype(dtype))
+        return (
+            jnp.zeros(used.shape, dtype=jax.dtypes.float0),
+            jnp.zeros((g, 1, TILE), dtype=jax.dtypes.float0),
+            jnp.zeros((g, TILE, wp), dtype=jax.dtypes.float0),
+            dfw,
+        )
+
+    @jax.custom_vjp
+    def f(used, counts, packed, fw):
+        return fwd_impl(used, counts, packed, fw)
+
+    def fwd_rule(used, counts, packed, fw):
+        out, arg = fwd_impl(used, counts, packed, fw)
+        return (out, arg), (used, packed, arg, packed.shape[0])
+
+    f.defvjp(fwd_rule, bwd)
+    return f
+
+
 def _pool_chunks(w: int):
     return [
         (w0, min(_POOL_WCHUNK, w - w0)) for w0 in range(0, w, _POOL_WCHUNK)
@@ -1106,20 +1307,45 @@ def dense_max_pool3d(
     m_pad = n_t * TILE
     num_out = dnbh.num_query
 
-    fw = window_features(inputs, dnbh).reshape(batch * n_t, w, c)
-    packed = dnbh.packed.reshape(batch * n_t, TILE, w)
     if (
+        not with_index                    # arg is a K-space rank here
+        and inputs.dtype == jnp.bfloat16
+        and 0 < dnbh.k_max
+        and (c % 128 == 0 or c == 64)
+    ):
+        # rank-compacted MXU path (see _rank_pool_fwd_kernel)
+        wch, wp = _w_chunk(w)
+        fw = window_features(inputs, dnbh, pad_to=wp).reshape(
+            batch * n_t, wp, c
+        )
+        packed = jnp.pad(dnbh.packed, ((0, 0), (0, 0), (0, 0), (0, wp - w)))
+        packed = packed.reshape(batch * n_t, TILE, wp)
+        counts = jnp.pad(
+            dnbh.count, ((0, 0), (0, m_pad - num_out))
+        ).reshape(batch * n_t, 1, TILE).astype(jnp.int32)
+        used = _used_chunks(packed, wch)
+        kchunk = min(32, _round_up(dnbh.k_max, 8))
+        n_kc = -(-dnbh.k_max // kchunk)
+        n_cc = max(c // 128, 1)
+        out, arg = _rank_window_max_for(
+            wp, wch, c, n_cc, kchunk, n_kc, inputs.dtype.name
+        )(used, counts, packed, fw)
+    elif (
         inputs.dtype == jnp.bfloat16
         and w % _POOL_WSUB == 0
         and w <= (1 << _POOL_BITS)
         and (c % 128 == 0 or c == 64)
     ):
+        fw = window_features(inputs, dnbh).reshape(batch * n_t, w, c)
+        packed = dnbh.packed.reshape(batch * n_t, TILE, w)
         n_cc = max(c // 128, 1)
         used = _used_chunks(packed, _POOL_WSUB)
         out, arg = _masked_window_max_pallas_for(
             w, c, n_cc, inputs.dtype.name
         )(used, packed, fw)
     else:
+        fw = window_features(inputs, dnbh).reshape(batch * n_t, w, c)
+        packed = dnbh.packed.reshape(batch * n_t, TILE, w)
         out, arg = _masked_window_max_for(w, inputs.dtype.name)(packed, fw)
     # empty rows (padding) hold finfo.min; the ref leaves 0 there
     out = jnp.where(out <= _NEG / 2, 0.0, out)

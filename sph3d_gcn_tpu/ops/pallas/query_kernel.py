@@ -173,7 +173,13 @@ def _query_kernel(
         rank = inner + off
         sel = in_r & (rank <= k)
         if kernel is None:
-            pk = sel
+            # selection-only maps store the neighbor RANK (1..k, the
+            # in-range prefix count in window order) instead of a bare
+            # 1: rank-valued maps are what the MXU-compacted pool kernel
+            # keys its one-hot matmuls on (ops/dense.py), and every
+            # other consumer only tests ``packed > 0``. k > 127 would
+            # overflow int8; no config comes close (nn_uplimit = 64).
+            pk = jnp.where(sel, rank, 0.0) if k <= 127 else sel
         else:
             bins = _bins(dx, dy, dz, d3, radius, kernel)
             pk = jnp.where(sel, bins + 1, 0)
@@ -243,7 +249,9 @@ def _growth_kernel(
         )
         rank = inner + off
         sel = in_r & (rank <= k)
-        packed_ref[0, :, pl.ds(c * TILE, TILE)] = sel.astype(jnp.int8)
+        # rank-valued map, as in _query_kernel's kernel=None branch
+        pk = jnp.where(sel, rank, 0.0) if k <= 127 else sel
+        packed_ref[0, :, pl.ds(c * TILE, TILE)] = pk.astype(jnp.int8)
         if need_dist:
             _, _, _, d3 = _chunk_candidates(win_scr, qx, qy, qz, c)
             dist_ref[0, :, pl.ds(c * TILE, TILE)] = jnp.where(

@@ -515,3 +515,65 @@ def test_dense_conv_wide_channels_matches_classic():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(e), rtol=1e-5, atol=1e-5
         )
+
+
+def test_dense_maxpool_rank_compacted_matches_classic():
+    """c=64 + bf16 + kernel=None maps (k_max > 0) dispatch to the
+    rank-compacted MXU pool (ops/dense.py _rank_pool_fwd_kernel). It must
+    reproduce the classic max exactly, and its VJP must route all of dout
+    to the FIRST maximal neighbor (ref tf_pool3d_gpu.cu:26,38-50)."""
+    rng = np.random.default_rng(11)
+    b, n, c, k, s = 2, 300, 64, 8, 75
+    pts = jnp.array(_sorted_cloud(rng, b, n))
+    base = rng.standard_normal((b, n, c)).astype(np.float32)
+    base[:, ::7] = 0.0
+    feats = jnp.array(base).astype(jnp.bfloat16)
+    radius = 0.4
+    nbh, _ = build_sphere_neighbor_and_bins(
+        pts, pts, radius, k, KERNEL, self_graph=True
+    )
+    samp = np.sort(rng.choice(n, s, replace=False))
+    idx_s = jnp.asarray(np.asarray(nbh.idx)[:, samp])
+    cnt_s = jnp.asarray(np.asarray(nbh.count)[:, samp])
+    dnbh = build_dense_graph(
+        pts,
+        jnp.array(np.take_along_axis(
+            np.asarray(pts), samp[None, :, None].repeat(b, 0), axis=1
+        )),
+        radius, k, None, window=384, self_graph=False,
+    )
+    assert bool(dnbh.ok)
+    assert dnbh.k_max == k
+    out_ref, _ = max_pool3d(feats, idx_s, cnt_s)
+    out_d, _ = dense_max_pool3d(feats, dnbh, with_index=False)
+    np.testing.assert_array_equal(
+        np.asarray(out_d, dtype=np.float32),
+        np.asarray(out_ref, dtype=np.float32),
+    )
+
+    # tie-free gradient parity (distinct bf16 values per channel)
+    pool = np.unique(
+        np.linspace(1.0, 15.9, 8000).astype(np.float32).astype(
+            jnp.bfloat16
+        ).astype(np.float32)
+    )
+    vals = np.stack([
+        rng.choice(pool, n, replace=False) for _ in range(b * c)
+    ]).reshape(b, c, n).transpose(0, 2, 1)
+    feats_nt = jnp.array(vals.astype(np.float32)).astype(jnp.bfloat16)
+
+    def loss_dense(f):
+        out, _ = dense_max_pool3d(f, dnbh, with_index=False)
+        return jnp.sum(jnp.sin(out.astype(jnp.float32)))
+
+    def loss_ref(f):
+        out, _ = max_pool3d(f, idx_s, cnt_s)
+        return jnp.sum(jnp.sin(out.astype(jnp.float32)))
+
+    g_d = jax.grad(loss_dense)(feats_nt)
+    g_r = jax.grad(loss_ref)(feats_nt)
+    np.testing.assert_allclose(
+        np.asarray(g_d, dtype=np.float32),
+        np.asarray(g_r, dtype=np.float32),
+        rtol=1e-2, atol=1e-3,
+    )
