@@ -150,8 +150,26 @@ def main():
         print(f"{dur / 1000:8.2f} ms  {name}")
     print(f"mapped total: {sum(agg.values()) / 1000:.1f} ms")
     print("== unmapped (late-pass fusions: scatters, optimizer, BN) ==")
+    # For unmapped fusions, summarize the fused computation's contents:
+    # every distinct op_name of its inner instructions (the metadata the
+    # late fusion pass dropped from the fusion op itself).
+    comp_ops: dict[str, collections.Counter] = {}
+    cur = None
+    for line in hlo.splitlines():
+        mm = re.match(r"%([\w\.\-]+) \(", line)
+        if mm:
+            cur = mm.group(1)
+        elif cur is not None:
+            mm = re.search(r'op_name="([^"]+)"', line)
+            if mm:
+                comp_ops.setdefault(cur, collections.Counter())[
+                    re.sub(r"jit\(step\)/", "", mm.group(1))[:70]
+                ] += 1
     for name, dur in unmapped.most_common(10):
         print(f"{dur / 1000:8.2f} ms  {name[:80]}")
+        comp = calls.get(name)
+        for src, cnt in (comp_ops.get(comp) or {}).most_common(3):
+            print(f"              <- {cnt}x {src}")
     print(f"unmapped total: {sum(unmapped.values()) / 1000:.1f} ms")
 
     # MFU: HLO-counted flops per steady-state step over the v5e bf16 MXU

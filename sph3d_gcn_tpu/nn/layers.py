@@ -105,25 +105,28 @@ class SeparableConv3d(fnn.Module):
             _glorot,
             (self.bin_size, c_in, self.depth_multiplier),
         )
+        kernel = self.param(
+            "weights", _glorot, (c_in * self.depth_multiplier, self.num_out_channels)
+        )
         if isinstance(nbh, DenseNeighborhood):
-            # Dense windowed engine: bins live inside the packed maps, so
-            # filt_index is unused (pass None).
-            out = dense_depthwise_conv3d(inputs, depthwise, nbh)
+            # Dense windowed engine: bins live inside the packed maps
+            # (filt_index unused); the pointwise GEMM is folded into the
+            # depthwise op so the (B, M, C*r) intermediate and its HBM
+            # layout transpose never materialize.
+            out = dense_depthwise_conv3d(
+                inputs, depthwise, nbh, pointwise=kernel
+            )
         else:
             out = depthwise_conv3d(
                 inputs, depthwise, nbh.idx, nbh.count, filt_index,
                 window=self.window,
             )
-
-        kernel = self.param(
-            "weights", _glorot, (c_in * self.depth_multiplier, self.num_out_channels)
-        )
-        out = jnp.einsum(
-            "bmc,co->bmo",
-            out,
-            kernel.astype(self.dtype),
-            preferred_element_type=jnp.float32,
-        ).astype(self.dtype)
+            out = jnp.einsum(
+                "bmc,co->bmo",
+                out,
+                kernel.astype(self.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(self.dtype)
 
         if self.with_bias:
             bias = self.param(

@@ -308,15 +308,18 @@ def window_features(
         )
     fb = feats_p.reshape(b, n_pad // TILE + 1, TILE * c)
     idx = blk.reshape(b, -1)
-    if c >= 128:
+    if c >= 64:
         # XLA lowers gathers with wide rows (TILE*c >= 64KB) to a
         # sequential while-of-dynamic-slices (~10ms each on the coarse
         # S3DIS levels, round-3 profile), and even where the forward
-        # gather is tolerable (C=128: ~3 ms) its backward SCATTER-add
-        # costs ~12 ms per conv (round-3 fusion profile). A one-hot
-        # matmul rides the MXU instead, and its transpose (the backward
-        # scatter) does too — ~1 ms per direction at C=128.
-        # Exact in bf16: each output row sums exactly one source row.
+        # gather is tolerable (C=64: gather+select_n ~6ms per ModelNet
+        # conv) its backward SCATTER-add costs ~12 ms per conv (round-3
+        # fusion profile). A one-hot matmul rides the MXU instead, and
+        # its transpose (the backward scatter) does too — ~1 ms per
+        # direction at C=128, ~0.1ms at C=64.
+        # Exact for bf16 features: each output row sums exactly one
+        # source row (1.0 x value). f32 features need HIGHEST precision
+        # or the MXU truncates the VALUE operand to bf16.
         nb1 = n_pad // TILE + 1
         onehot = (
             idx[..., None] == jnp.arange(nb1, dtype=jnp.int32)
@@ -324,6 +327,11 @@ def window_features(
         out = jnp.einsum(
             "bik,bkr->bir", onehot, fb,
             preferred_element_type=jnp.float32,
+            precision=(
+                lax.Precision.DEFAULT
+                if feats.dtype == jnp.bfloat16
+                else lax.Precision.HIGHEST
+            ),
         ).astype(feats.dtype)
         return out.reshape(b, n_t, wp, c)
     return jnp.take_along_axis(
@@ -394,7 +402,10 @@ def _dense_conv_bwd_kernel(
     *, wch, n_wc,
 ):
     """Same grid as forward. Recomputes S (A never stored); emits
-    dfw^T[c, w] = sum_(f,t) dS[c,(f,t)] A[(f,t),w] per W chunk and
+    dfw[w, c] = sum_(f,t) A[(f,t),w] dS[c,(f,t)] per W chunk — already in
+    the (W, C) layout window_features' backward consumes, so no HBM
+    transpose follows (the old (C, W) orientation cost a ~1.2ms
+    swapaxes per conv at the fine levels) — and
     dfilt^T[r,c,f] = sum_t S[c,f,t] dout[r,c,t] at the end, accumulated
     over all tiles (ref tf_conv3d_gpu.cu:33-101 semantics,
     deterministic). Chunks past the tile's last nonempty one are skipped
@@ -423,10 +434,10 @@ def _dense_conv_bwd_kernel(
             (((0,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        dfw_ref[0, :, pl.ds(c * wch, wch)] = lax.dot_general(
-            ds_scr[...].astype(a.dtype), a, (((1,), (0,)), ((), ())),
+        dfw_ref[0, pl.ds(c * wch, wch), :] = lax.dot_general(
+            a, ds_scr[...].astype(a.dtype), (((0,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).astype(dfw_ref.dtype)                      # (cc, wch)
+        ).astype(dfw_ref.dtype)                      # (wch, cc)
         return carry
 
     lax.fori_loop(0, used, body, jnp.int32(0))
@@ -438,14 +449,35 @@ def _dense_conv_bwd_kernel(
         ).astype(dfilt_ref.dtype)                    # (cc, F)
 
 
-def _w_chunk(w: int) -> tuple[int, int]:
+def _w_chunk(
+    w: int, f_bins: int = 0, cc: int = 0, itemsize: int = 2
+) -> tuple[int, int]:
     """(chunk, padded_w): prefer wide W chunks, zero-padding the window
-    (zero packed columns select nothing, so padding is exact)."""
+    (zero packed columns select nothing, so padding is exact).
+
+    When the conv-kernel shape (f_bins, cc) is given, chunks whose
+    backward-kernel VMEM footprint would blow the ~16MB scoped stack
+    limit are rejected: the dominant transients are the two f32
+    (cc, F*TILE) scratches, the per-chunk A one-hot (F*TILE, wch) plus
+    the transposed copy Mosaic materializes for the contract-on-dim-0
+    dot, and the double-buffered I/O blocks (observed OOM: S3DIS conv2
+    cc=128, F=33, wch=512 -> 16.42M)."""
     best = None
     for chunk in (512, 256, 128):
         if w < chunk and chunk != 128:
             continue
         padded = -(-w // chunk) * chunk
+        if f_bins:
+            vmem = (
+                2 * cc * f_bins * TILE * 4           # s_scr + ds_scr
+                + 2 * f_bins * TILE * chunk * itemsize   # A + transpose
+                + chunk * cc * 4                     # dot product tile
+                + 2 * (padded * TILE                 # packed (int8, 2buf)
+                       + 2 * padded * cc * itemsize  # fw + dfw
+                       + cc * TILE * 4)              # dout/inv
+            )
+            if vmem >= 13 * 1024 * 1024 and chunk != 128:
+                continue
         cost = padded * (1 + 64 / chunk)
         if best is None or cost < best[0]:
             best = (cost, chunk, padded)
@@ -523,8 +555,8 @@ def _dense_conv_for(w: int, wch: int, f_bins: int, mult: int, c_pad: int,
                                  memory_space=pltpu.VMEM),
                 ],
                 out_specs=[
-                    pl.BlockSpec((1, cc, w),
-                                 lambda k, i, s: (i, k, 0),
+                    pl.BlockSpec((1, w, cc),
+                                 lambda k, i, s: (i, 0, k),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((mult, cc, f_bins),
                                  lambda k, i, s: (0, k, 0),
@@ -535,12 +567,12 @@ def _dense_conv_for(w: int, wch: int, f_bins: int, mult: int, c_pad: int,
                 ],
             ),
             out_shape=[
-                jax.ShapeDtypeStruct((g_dim, c_pad, w), dtype),
+                jax.ShapeDtypeStruct((g_dim, w, c_pad), dtype),
                 jax.ShapeDtypeStruct((mult, c_pad, f_bins), jnp.float32),
             ],
             interpret=jax.default_backend() != "tpu",
         )(used, packed, fw, filt_rcf, inv, dout)
-        dfw = jnp.swapaxes(dfw_t, 1, 2)              # (g, W, C_pad)
+        dfw = dfw_t                                  # (g, W, C_pad)
         return (
             jnp.zeros(used.shape, dtype=jax.dtypes.float0),
             jnp.zeros(packed.shape, dtype=jax.dtypes.float0),
@@ -736,6 +768,7 @@ def dense_depthwise_conv3d(
     inputs: jax.Array,
     filt: jax.Array,
     dnbh: DenseNeighborhood,
+    pointwise: jax.Array | None = None,
 ) -> jax.Array:
     """Depthwise spherical conv from dense maps (no edge lists).
 
@@ -747,9 +780,19 @@ def dense_depthwise_conv3d(
       inputs: (B, N, C) float features (f32 or bf16).
       filt:   (F, C, r) filter (bin_size, in_channels, multiplier).
       dnbh:   dense neighborhood over the same cloud.
+      pointwise: optional (C*r, O) channel-major pointwise kernel. When
+        given, the separable conv's 1x1 GEMM is contracted DIRECTLY from
+        the Pallas kernels' native output layout ((r, C, T)-transposed
+        for C <= 128, r-major rows above) and the result is (B, M, O):
+        the (B, M, C*r) intermediate and its HBM layout transpose
+        (~1-2ms per conv at the fine levels, round-3 profile) never
+        materialize. Numerically identical to transposing then
+        matmul-ing — the contraction order per output element is the
+        same.
 
     Returns:
-      (B, M, C*r) in the input dtype.
+      (B, M, C*r) in the input dtype, or (B, M, O) when ``pointwise``
+      is given.
     """
     batch, num_in, c_in = inputs.shape
     f_bins, _, mult = filt.shape
@@ -769,7 +812,9 @@ def dense_depthwise_conv3d(
         # padding only) instead of 128-padded N — ~1.6x at C=35. The
         # window is zero-padded up to the chunk width (_w_chunk) so wide
         # MXU chunks survive non-multiple windows.
-        wch, wp = _w_chunk(w)
+        wch, wp = _w_chunk(
+            w, f_bins, c_in, jnp.dtype(compute_dtype).itemsize
+        )
         fw = window_features(inputs, dnbh, pad_to=wp).reshape(
             batch * n_t, wp, c_in
         )
@@ -782,6 +827,15 @@ def dense_depthwise_conv3d(
             wp, wch, f_bins, mult, c_in, 1, compute_dtype.name
         )(used, packed, fw, filt_rcf, inv)          # (g, r, C, T)
         out_t = out_t.reshape(batch, n_t, mult, c_in, TILE)
+        if pointwise is not None:
+            # contract (r, C) straight out of the kernel layout; the T
+            # axis stays minor so no HBM transpose precedes the GEMM
+            pw = pointwise.reshape(c_in, mult, -1).astype(compute_dtype)
+            out = jnp.einsum(
+                "bnjct,cjo->bnto", out_t, pw,
+                preferred_element_type=jnp.float32,
+            ).astype(compute_dtype).reshape(batch, m_pad, -1)
+            return out[:, :num_out]
         # (B, nT, r, C, T) -> (B, M, C, r): reference layout is
         # channel-major with the multiplier minor (out[..., c*r + j])
         out = jnp.transpose(out_t, (0, 1, 4, 3, 2)).reshape(
@@ -794,6 +848,21 @@ def dense_depthwise_conv3d(
         out_r = _dense_conv_rm_for(
             w, f_bins, mult, compute_dtype.name
         )(packed, fw, filt_rfc)                     # (g, T, r*C) r-major
+        if pointwise is not None:
+            # permute the (C*r, O) kernel rows to the r-major order the
+            # Pallas output uses — a (C*r, O) param-side shuffle instead
+            # of the (B, M, r, C) activation transpose
+            pw = pointwise.reshape(c_in, mult, -1).transpose(1, 0, 2)
+            pw = pw.reshape(mult * c_in, -1).astype(compute_dtype)
+            scaled = (
+                out_r.reshape(batch, m_pad, mult * c_in)
+                * inv_cnt[..., None]
+            ).astype(compute_dtype)  # same f32 scale as the unfused path
+            out = jnp.einsum(
+                "bmk,ko->bmo", scaled, pw,
+                preferred_element_type=jnp.float32,
+            ).astype(compute_dtype)
+            return out[:, :num_out]
         out_r = out_r.reshape(batch, m_pad, mult, c_in)
         out = jnp.transpose(out_r, (0, 1, 3, 2)).reshape(
             batch, m_pad, c_in * mult

@@ -45,6 +45,11 @@ def farthest_point_sample(npoint: int, database: jax.Array) -> jax.Array:
     Returns:
       (B, npoint) int32 indices into the point axis.
     """
+    n = database.shape[-2]
+    if not 1 <= npoint <= n:
+        raise ValueError(
+            f"npoint must be in [1, num_points={n}], got {npoint}"
+        )
     if jax.default_backend() == "tpu":
         from sph3d_gcn_tpu.ops.pallas.fps_kernel import (
             farthest_point_sample_pallas,
