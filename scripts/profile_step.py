@@ -168,7 +168,8 @@ def main():
     for name, dur in unmapped.most_common(10):
         print(f"{dur / 1000:8.2f} ms  {name[:80]}")
         comp = calls.get(name)
-        for src, cnt in (comp_ops.get(comp) or {}).most_common(3):
+        inner = comp_ops.get(comp, collections.Counter())
+        for src, cnt in inner.most_common(3):
             print(f"              <- {cnt}x {src}")
     print(f"unmapped total: {sum(unmapped.values()) / 1000:.1f} ms")
 

@@ -308,15 +308,16 @@ def window_features(
         )
     fb = feats_p.reshape(b, n_pad // TILE + 1, TILE * c)
     idx = blk.reshape(b, -1)
-    if c >= 64:
+    if c >= 32:
         # XLA lowers gathers with wide rows (TILE*c >= 64KB) to a
         # sequential while-of-dynamic-slices (~10ms each on the coarse
         # S3DIS levels, round-3 profile), and even where the forward
-        # gather is tolerable (C=64: gather+select_n ~6ms per ModelNet
-        # conv) its backward SCATTER-add costs ~12 ms per conv (round-3
-        # fusion profile). A one-hot matmul rides the MXU instead, and
-        # its transpose (the backward scatter) does too — ~1 ms per
-        # direction at C=128, ~0.1ms at C=64.
+        # gather is tolerable (C=35-64: gather+select_n ~5-6ms per
+        # fine-level conv) its backward SCATTER-add costs ~12 ms per
+        # conv (round-3 fusion profile). A one-hot matmul rides the MXU
+        # instead, and its transpose (the backward scatter) does too —
+        # ~1 ms per direction at C=128, ~0.1ms below. xyz windows (C=3)
+        # keep the cheap narrow-row gather.
         # Exact for bf16 features: each output row sums exactly one
         # source row (1.0 x value). f32 features need HIGHEST precision
         # or the MXU truncates the VALUE operand to bf16.
@@ -351,12 +352,16 @@ def window_features(
 # per-iteration buffers); C > 128 is zero-padded and swept by another
 # grid dimension.
 
+_A_CMP_DTYPE = jnp.int32  # flip to jnp.int8 to A/B the 4x-lane compare
+
+
 def _conv_chunk_a(packed_ref, c, wch, f_bins, dtype):
     """Chunk c's one-hot bin matrix A (F*T, wch) from the packed map."""
-    pk = packed_ref[0, :, pl.ds(c * wch, wch)].astype(jnp.int32)  # (T, wch)
+    cmp = _A_CMP_DTYPE
+    pk = packed_ref[0, :, pl.ds(c * wch, wch)].astype(cmp)  # (T, wch)
     t = pk.shape[0]
-    f_iota = lax.broadcasted_iota(jnp.int32, (f_bins, t, wch), 0)
-    return (pk[None, :, :] == f_iota + 1).reshape(
+    f_iota = lax.broadcasted_iota(cmp, (f_bins, t, wch), 0)
+    return (pk[None, :, :] == f_iota + jnp.asarray(1, cmp)).reshape(
         f_bins * t, wch
     ).astype(dtype)
 
@@ -402,14 +407,17 @@ def _dense_conv_bwd_kernel(
     *, wch, n_wc,
 ):
     """Same grid as forward. Recomputes S (A never stored); emits
-    dfw[w, c] = sum_(f,t) A[(f,t),w] dS[c,(f,t)] per W chunk — already in
-    the (W, C) layout window_features' backward consumes, so no HBM
-    transpose follows (the old (C, W) orientation cost a ~1.2ms
-    swapaxes per conv at the fine levels) — and
+    dfw^T[c, w] = sum_(f,t) dS[c,(f,t)] A[(f,t),w] per W chunk and
     dfilt^T[r,c,f] = sum_t S[c,f,t] dout[r,c,t] at the end, accumulated
     over all tiles (ref tf_conv3d_gpu.cu:33-101 semantics,
     deterministic). Chunks past the tile's last nonempty one are skipped
-    by the loop bound; their dfw slots were zeroed up front."""
+    by the loop bound; their dfw slots were zeroed up front.
+
+    The (C, W) output orientation is deliberate: emitting (W, C)
+    directly (to skip the HBM swapaxes after) needs a contract-on-dim-0
+    dot whose transposed A copy Mosaic materializes through the slow
+    shuffle path — measured +6ms per fine-level conv, far more than the
+    ~1.2ms swapaxes it saves (round-3 A/B)."""
     used = used_ref[pl.program_id(1)]
     mult, cc, f_bins = filt_ref.shape
 
@@ -434,10 +442,10 @@ def _dense_conv_bwd_kernel(
             (((0,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        dfw_ref[0, pl.ds(c * wch, wch), :] = lax.dot_general(
-            a, ds_scr[...].astype(a.dtype), (((0,), (1,)), ((), ())),
+        dfw_ref[0, :, pl.ds(c * wch, wch)] = lax.dot_general(
+            ds_scr[...].astype(a.dtype), a, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).astype(dfw_ref.dtype)                      # (wch, cc)
+        ).astype(dfw_ref.dtype)                      # (cc, wch)
         return carry
 
     lax.fori_loop(0, used, body, jnp.int32(0))
@@ -458,10 +466,8 @@ def _w_chunk(
     When the conv-kernel shape (f_bins, cc) is given, chunks whose
     backward-kernel VMEM footprint would blow the ~16MB scoped stack
     limit are rejected: the dominant transients are the two f32
-    (cc, F*TILE) scratches, the per-chunk A one-hot (F*TILE, wch) plus
-    the transposed copy Mosaic materializes for the contract-on-dim-0
-    dot, and the double-buffered I/O blocks (observed OOM: S3DIS conv2
-    cc=128, F=33, wch=512 -> 16.42M)."""
+    (cc, F*TILE) scratches, the per-chunk A one-hot (F*TILE, wch), and
+    the double-buffered I/O blocks."""
     best = None
     for chunk in (512, 256, 128):
         if w < chunk and chunk != 128:
@@ -470,7 +476,7 @@ def _w_chunk(
         if f_bins:
             vmem = (
                 2 * cc * f_bins * TILE * 4           # s_scr + ds_scr
-                + 2 * f_bins * TILE * chunk * itemsize   # A + transpose
+                + f_bins * TILE * chunk * itemsize   # A one-hot
                 + chunk * cc * 4                     # dot product tile
                 + 2 * (padded * TILE                 # packed (int8, 2buf)
                        + 2 * padded * cc * itemsize  # fw + dfw
@@ -555,8 +561,8 @@ def _dense_conv_for(w: int, wch: int, f_bins: int, mult: int, c_pad: int,
                                  memory_space=pltpu.VMEM),
                 ],
                 out_specs=[
-                    pl.BlockSpec((1, w, cc),
-                                 lambda k, i, s: (i, 0, k),
+                    pl.BlockSpec((1, cc, w),
+                                 lambda k, i, s: (i, k, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((mult, cc, f_bins),
                                  lambda k, i, s: (0, k, 0),
@@ -567,12 +573,12 @@ def _dense_conv_for(w: int, wch: int, f_bins: int, mult: int, c_pad: int,
                 ],
             ),
             out_shape=[
-                jax.ShapeDtypeStruct((g_dim, w, c_pad), dtype),
+                jax.ShapeDtypeStruct((g_dim, c_pad, w), dtype),
                 jax.ShapeDtypeStruct((mult, c_pad, f_bins), jnp.float32),
             ],
             interpret=jax.default_backend() != "tpu",
         )(used, packed, fw, filt_rcf, inv, dout)
-        dfw = dfw_t                                  # (g, W, C_pad)
+        dfw = jnp.swapaxes(dfw_t, 1, 2)              # (g, W, C_pad)
         return (
             jnp.zeros(used.shape, dtype=jax.dtypes.float0),
             jnp.zeros(packed.shape, dtype=jax.dtypes.float0),
@@ -604,11 +610,11 @@ def _dense_conv_for(w: int, wch: int, f_bins: int, mult: int, c_pad: int,
 def _dense_conv_rm_fwd_kernel(packed_ref, fw_ref, filt_ref, out_ref):
     """out[t, r*C + c] = (sum_w sum_f [packed==f+1] fw[w,c] filt[r,f,c])
     for one (tile, row-chunk); the neighbor mean is applied outside."""
-    packed = packed_ref[0].astype(jnp.int32)      # (tc, W)
+    packed = packed_ref[0].astype(_A_CMP_DTYPE)   # (tc, W)
     tc, w = packed.shape
     mult, f_bins, c = filt_ref.shape
-    f_iota = lax.broadcasted_iota(jnp.int32, (f_bins, tc, w), 0)
-    a = (packed[None, :, :] == f_iota + 1).reshape(
+    f_iota = lax.broadcasted_iota(_A_CMP_DTYPE, (f_bins, tc, w), 0)
+    a = (packed[None, :, :] == f_iota + jnp.asarray(1, _A_CMP_DTYPE)).reshape(
         f_bins * tc, w
     ).astype(fw_ref.dtype)
     s = jnp.dot(
@@ -628,11 +634,11 @@ def _dense_conv_rm_bwd_kernel(
     dfilt[r,f,c] += sum_t S[f,t,c] dout[t, r*C+c]  (accumulated all steps)
     dfw[w,c]     += sum_(f,t) A[(f,t),w] dS[(f,t),c],
     with dS[f,t,c] = sum_r filt[r,f,c] dout[t, r*C+c]."""
-    packed = packed_ref[0].astype(jnp.int32)
+    packed = packed_ref[0].astype(_A_CMP_DTYPE)
     tc, w = packed.shape
     mult, f_bins, c = filt_ref.shape
-    f_iota = lax.broadcasted_iota(jnp.int32, (f_bins, tc, w), 0)
-    a = (packed[None, :, :] == f_iota + 1).reshape(
+    f_iota = lax.broadcasted_iota(_A_CMP_DTYPE, (f_bins, tc, w), 0)
+    a = (packed[None, :, :] == f_iota + jnp.asarray(1, _A_CMP_DTYPE)).reshape(
         f_bins * tc, w
     ).astype(fw_ref.dtype)
     s = jnp.dot(
@@ -1071,14 +1077,18 @@ def _masked_window_max_pallas_for(w: int, c: int, n_cc: int,
 # semantics, deterministic).
 
 def _rank_pool_fwd_kernel(
-    used_ref, cnt_ref, packed_ref, fw_ref, best_ref, s_scr,
+    used_ref, kused_ref, cnt_ref, packed_ref, fw_ref, best_ref, s_scr,
     *, wch, kchunk, n_kc,
 ):
     """Grid (k_c, g). Composite int32 keys as in :func:`_pool_keys`:
     monotone bf16 bits << 13 | (8191 - k), one running max for value AND
     first attaining rank; invalid rows (k >= count) get the additive
-    ``_POOL_EMPTY`` penalty."""
+    ``_POOL_EMPTY`` penalty. Rank chunks past the tile's max neighbor
+    count (``kused_ref``) are skipped — their one-hots are all-zero and
+    their keys all-penalized, so ``best`` is unchanged by construction
+    (S3DIS counts at r=0.1 are often << nn_uplimit, halving the sweep)."""
     used = used_ref[pl.program_id(1)]
+    kused = kused_ref[pl.program_id(1)]
     t = packed_ref.shape[1]
     cc = fw_ref.shape[2]
     cnt = cnt_ref[0]                                  # (1, T) int32
@@ -1113,17 +1123,20 @@ def _rank_pool_fwd_kernel(
         return jnp.maximum(best, jnp.max(key, axis=0))
 
     best_ref[0] = lax.fori_loop(
-        0, n_kc, ki_body, jnp.full((t, cc), _POOL_EMPTY, jnp.int32)
+        0, kused, ki_body, jnp.full((t, cc), _POOL_EMPTY, jnp.int32)
     )
 
 
 def _rank_pool_bwd_kernel(
-    used_ref, packed_ref, arg_ref, dout_ref, dfw_ref, dfw_scr,
+    used_ref, kused_ref, packed_ref, arg_ref, dout_ref, dfw_ref, dfw_scr,
     *, wch, kchunk, n_kc,
 ):
     """dfw = R^T @ dcomp per window chunk, accumulated in f32; arg is the
-    K-space argmax (-1 on empty rows, which therefore get nothing)."""
+    K-space argmax (-1 on empty rows, which therefore get nothing).
+    Rank chunks past the tile's max count are skipped (arg < count, so
+    their dcomp is all-zero)."""
     used = used_ref[pl.program_id(1)]
+    kused = kused_ref[pl.program_id(1)]
     t = packed_ref.shape[1]
     cc = dout_ref.shape[2]
     dfw_scr[...] = jnp.zeros_like(dfw_scr)
@@ -1152,7 +1165,7 @@ def _rank_pool_bwd_kernel(
         lax.fori_loop(0, used, body, jnp.int32(0))
         return carry
 
-    lax.fori_loop(0, n_kc, ki_body, jnp.int32(0))
+    lax.fori_loop(0, kused, ki_body, jnp.int32(0))
     dfw_ref[0] = dfw_scr[...].astype(dfw_ref.dtype)
 
 
@@ -1164,25 +1177,25 @@ def _rank_window_max_for(wp: int, wch: int, c: int, n_cc: int,
     cc = c // n_cc
     assert wp % wch == 0 and c % n_cc == 0
 
-    def fwd_impl(used, counts, packed, fw):
+    def fwd_impl(used, kused, counts, packed, fw):
         g = packed.shape[0]
         best = pl.pallas_call(
             functools.partial(
                 _rank_pool_fwd_kernel, wch=wch, kchunk=kchunk, n_kc=n_kc
             ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
+                num_scalar_prefetch=2,
                 grid=(n_cc, g),
                 in_specs=[
-                    pl.BlockSpec((1, 1, TILE), lambda k, i, s: (i, 0, 0),
+                    pl.BlockSpec((1, 1, TILE), lambda k, i, s, s2: (i, 0, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, TILE, wp), lambda k, i, s: (i, 0, 0),
+                    pl.BlockSpec((1, TILE, wp), lambda k, i, s, s2: (i, 0, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, wp, cc), lambda k, i, s: (i, 0, k),
+                    pl.BlockSpec((1, wp, cc), lambda k, i, s, s2: (i, 0, k),
                                  memory_space=pltpu.VMEM),
                 ],
                 out_specs=pl.BlockSpec(
-                    (1, TILE, cc), lambda k, i, s: (i, 0, k),
+                    (1, TILE, cc), lambda k, i, s, s2: (i, 0, k),
                     memory_space=pltpu.VMEM,
                 ),
                 scratch_shapes=[
@@ -1191,7 +1204,7 @@ def _rank_window_max_for(wp: int, wch: int, c: int, n_cc: int,
             ),
             out_shape=jax.ShapeDtypeStruct((g, TILE, c), jnp.int32),
             interpret=jax.default_backend() != "tpu",
-        )(used, counts, packed, fw)
+        )(used, kused, counts, packed, fw)
         # real keys are > 0 (mono >= 0x8000 for any non-negative bf16,
         # and 8191 - k > 8000 even at mono == 0), penalized/empty < 0
         empty = best <= 0
@@ -1206,46 +1219,47 @@ def _rank_window_max_for(wp: int, wch: int, c: int, n_cc: int,
         return out, arg
 
     def bwd(res, cts):
-        used, packed, arg, g = res
+        used, kused, packed, arg, g = res
         dout, _ = cts                    # int argmax has zero cotangent
         dfw = pl.pallas_call(
             functools.partial(
                 _rank_pool_bwd_kernel, wch=wch, kchunk=kchunk, n_kc=n_kc
             ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
+                num_scalar_prefetch=2,
                 grid=(n_cc, g),
                 in_specs=[
-                    pl.BlockSpec((1, TILE, wp), lambda k, i, s: (i, 0, 0),
+                    pl.BlockSpec((1, TILE, wp), lambda k, i, s, s2: (i, 0, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, TILE, cc), lambda k, i, s: (i, 0, k),
+                    pl.BlockSpec((1, TILE, cc), lambda k, i, s, s2: (i, 0, k),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, TILE, cc), lambda k, i, s: (i, 0, k),
+                    pl.BlockSpec((1, TILE, cc), lambda k, i, s, s2: (i, 0, k),
                                  memory_space=pltpu.VMEM),
                 ],
                 out_specs=pl.BlockSpec(
-                    (1, wp, cc), lambda k, i, s: (i, 0, k),
+                    (1, wp, cc), lambda k, i, s, s2: (i, 0, k),
                     memory_space=pltpu.VMEM,
                 ),
                 scratch_shapes=[pltpu.VMEM((wp, cc), jnp.float32)],
             ),
             out_shape=jax.ShapeDtypeStruct((g, wp, c), dtype),
             interpret=jax.default_backend() != "tpu",
-        )(used, packed, arg, dout.astype(dtype))
+        )(used, kused, packed, arg, dout.astype(dtype))
         return (
             jnp.zeros(used.shape, dtype=jax.dtypes.float0),
+            jnp.zeros(kused.shape, dtype=jax.dtypes.float0),
             jnp.zeros((g, 1, TILE), dtype=jax.dtypes.float0),
             jnp.zeros((g, TILE, wp), dtype=jax.dtypes.float0),
             dfw,
         )
 
     @jax.custom_vjp
-    def f(used, counts, packed, fw):
-        return fwd_impl(used, counts, packed, fw)
+    def f(used, kused, counts, packed, fw):
+        return fwd_impl(used, kused, counts, packed, fw)
 
-    def fwd_rule(used, counts, packed, fw):
-        out, arg = fwd_impl(used, counts, packed, fw)
-        return (out, arg), (used, packed, arg, packed.shape[0])
+    def fwd_rule(used, kused, counts, packed, fw):
+        out, arg = fwd_impl(used, kused, counts, packed, fw)
+        return (out, arg), (used, kused, packed, arg, packed.shape[0])
 
     f.defvjp(fwd_rule, bwd)
     return f
@@ -1396,9 +1410,15 @@ def dense_max_pool3d(
         kchunk = min(32, _round_up(dnbh.k_max, 8))
         n_kc = -(-dnbh.k_max // kchunk)
         n_cc = max(c // 128, 1)
+        # rank chunks past the tile's max count are provably dead work
+        kused = jnp.clip(
+            -(-jnp.max(counts.reshape(batch * n_t, TILE), axis=1)
+              // kchunk),
+            1, n_kc,
+        ).astype(jnp.int32)
         out, arg = _rank_window_max_for(
             wp, wch, c, n_cc, kchunk, n_kc, inputs.dtype.name
-        )(used, counts, packed, fw)
+        )(used, kused, counts, packed, fw)
     elif (
         inputs.dtype == jnp.bfloat16
         and w % _POOL_WSUB == 0

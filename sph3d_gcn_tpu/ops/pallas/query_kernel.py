@@ -152,6 +152,14 @@ def _bins_822(dx, dy, dz, d3, radius, kernel):
     o_pos = jnp.where((uy == 0.0) & (ux < 0), zero + 4, o_pos)
     o_neg = jnp.where(ux < 0, sel(ay < ax, 4, 5), sel(ay > ax, 6, 7))
     n_id = jnp.where(uy >= 0, o_pos, o_neg)
+    # dx == dy == +-0 (vertically aligned candidate): atan2's signed-zero
+    # convention decides the bin — atan2(+-0, +0) = +-0 -> theta' = pi ->
+    # bin 4; atan2(+-0, -0) = +-pi -> theta' = 0 -> bin 0.
+    n_id = jnp.where(
+        (ax == 0.0) & (ay == 0.0),
+        jnp.where(jnp.signbit(dx), zero, zero + 4),
+        n_id,
+    )
     p_id = (dz >= 0).astype(jnp.int32)
     scale = float(radius) + 1e-6
     q_id = zero

@@ -577,3 +577,56 @@ def test_dense_maxpool_rank_compacted_matches_classic():
         np.asarray(g_r, dtype=np.float32),
         rtol=1e-2, atol=1e-3,
     )
+
+
+@pytest.mark.parametrize("c,dt", [(6, np.float32), (64, np.float32),
+                                  (144, np.float32), (64, "bfloat16")])
+def test_dense_conv_pointwise_fold_matches_unfused(c, dt):
+    """SeparableConv3d folds the 1x1 GEMM into dense_depthwise_conv3d
+    (pointwise=...); the fold must equal depthwise-then-matmul in BOTH
+    kernel orientations (transposed C<=128 and row-major C>128) and
+    dtypes, values and grads."""
+    rng = np.random.default_rng(11)
+    b, n, k, mult, c_out = 2, 300, 7, 2, 24
+    dtype = jnp.dtype(dt)
+    pts = jnp.array(_sorted_cloud(rng, b, n))
+    feats = jnp.array(
+        rng.standard_normal((b, n, c)).astype(np.float32)
+    ).astype(dtype)
+    filt = jnp.array(
+        rng.standard_normal((F_BINS, c, mult)).astype(np.float32)
+    ).astype(dtype)
+    pw = jnp.array(
+        rng.standard_normal((c * mult, c_out)).astype(np.float32) * 0.1
+    ).astype(dtype)
+    dnbh = build_dense_graph(
+        pts, pts, 0.35, k, KERNEL, window=384, self_graph=True
+    )
+    assert bool(dnbh.ok)
+
+    def fused(feats, filt, pw):
+        return dense_depthwise_conv3d(feats, filt, dnbh, pointwise=pw)
+
+    def unfused(feats, filt, pw):
+        out = dense_depthwise_conv3d(feats, filt, dnbh)
+        return jnp.einsum(
+            "bmc,co->bmo", out, pw, preferred_element_type=jnp.float32
+        ).astype(out.dtype)
+
+    got = np.asarray(fused(feats, filt, pw), np.float32)
+    ref = np.asarray(unfused(feats, filt, pw), np.float32)
+    tol = 2e-2 if dtype == jnp.bfloat16 else 1e-5
+    np.testing.assert_allclose(got, ref, rtol=tol, atol=tol)
+
+    gf = jax.grad(lambda *a: jnp.sum(jnp.sin(fused(*a).astype(jnp.float32))),
+                  argnums=(0, 1, 2))(feats, filt, pw)
+    gu = jax.grad(lambda *a: jnp.sum(jnp.sin(unfused(*a).astype(jnp.float32))),
+                  argnums=(0, 1, 2))(feats, filt, pw)
+    # grads see a different (equally bf16-truncated) matmul reduction
+    # order through the fold — tolerance covers the reordering noise
+    gtol = 2e-2 if dtype == jnp.bfloat16 else 5e-4
+    for a, e in zip(gf, gu):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(e, np.float32),
+            rtol=gtol, atol=gtol,
+        )
