@@ -54,7 +54,17 @@ def _max_pool_windowed(inputs, nn_index, nn_count, window):
         (k_ids * num_in + idx_p)[..., None],
         jnp.iinfo(jnp.int32).max,
     )
-    max_index = (jnp.min(enc, axis=2) % num_in).astype(jnp.int32)
+    enc_min = jnp.min(enc, axis=2)
+    max_index = (enc_min % num_in).astype(jnp.int32)
+    # Re-read the max THROUGH its first-max k slot: jnp.max's autodiff
+    # splits ties evenly, but the reference routes ALL of dout to the
+    # first maximal neighbor (strict > at tf_pool3d_gpu.cu:26, scatter
+    # at :73-90). Ties are common in bf16; the gather VJP restores the
+    # exact semantics. Values are identical to the plain max.
+    k_star = jnp.clip(
+        (enc_min // jnp.int32(num_in)).astype(jnp.int32), 0, idx_p.shape[2] - 1
+    )
+    out = jnp.take_along_axis(gm, k_star[:, :, None, :], axis=2).squeeze(2)
     return out[:, :num_out], max_index[:, :num_out]
 
 
@@ -67,11 +77,13 @@ def max_pool3d(
 ) -> tuple[jax.Array, jax.Array]:
     """Max pooling over neighborhoods.
 
-    The max is a direct masked reduction (fast on the VPU). Gradient-wise,
-    ``jnp.max`` splits ties evenly where the reference routes everything to
-    the first max in k-order (strict ``>`` at tf_pool3d_gpu.cu:26) — exact
-    float ties are measure-zero on real data, and the forward values and
-    reported ``max_index`` match the reference exactly.
+    The max is a masked reduction whose result is re-read through the
+    first-max k slot, so autodiff routes ALL of dout to the first max in
+    k-order — the reference's semantics exactly (strict ``>`` at
+    tf_pool3d_gpu.cu:26, backward scatter at :38-50). Value ties are
+    common in bfloat16, so tie ROUTING is load-bearing, not measure-zero
+    (a jnp.max backward splits ties evenly and diverges from the CUDA
+    grads on clustered clouds).
 
     Args:
       inputs:   (B, N, C) float32.
@@ -92,8 +104,13 @@ def max_pool3d(
         valid = _valid_mask(idx, cnt)
         neg_inf = jnp.finfo(g.dtype).min
         gm = jnp.where(valid[..., None], g, neg_inf)
-        out = jnp.max(gm, axis=2)
         arg_k = jnp.argmax(gm, axis=2)  # (B, T, C); first max in k-order
+        # read the value THROUGH the first-max slot: routes all of dout
+        # there under autodiff (jnp.max would split bf16 ties evenly,
+        # deviating from the reference's tf_pool3d_gpu.cu:73-90 scatter)
+        out = jnp.take_along_axis(
+            gm, arg_k[:, :, None, :], axis=2
+        ).squeeze(2)
         max_index = jnp.take_along_axis(
             idx[..., None], arg_k[:, :, None, :], axis=2
         ).squeeze(2)

@@ -630,3 +630,73 @@ def test_dense_conv_pointwise_fold_matches_unfused(c, dt):
             np.asarray(a, np.float32), np.asarray(e, np.float32),
             rtol=gtol, atol=gtol,
         )
+
+
+def test_dense_maxpool_rank_kused_skip_matches_classic():
+    """k=64 gives two rank chunks (kchunk=32); a cloud with a dense
+    cluster (counts > 32) and a sparse tail (counts < 10) exercises both
+    the skipped (k_used=1) and full (k_used=2) rank sweeps."""
+    rng = np.random.default_rng(13)
+    b, n, c, k, s = 2, 768, 64, 64, 256
+    dense_part = rng.uniform(0, 0.25, (b, n // 2, 3))
+    sparse_part = rng.uniform(0.5, 3.0, (b, n // 2, 3))
+    pts_np = np.concatenate([dense_part, sparse_part], axis=1)
+    pts_np = pts_np.astype(np.float32)
+    pts_np = np.stack(
+        [pts_np[i][np.argsort(pts_np[i, :, 0], kind="stable")]
+         for i in range(b)]
+    )
+    pts = jnp.array(pts_np)
+    feats = jnp.array(
+        rng.standard_normal((b, n, c)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    radius = 0.3
+    nbh, _ = build_sphere_neighbor_and_bins(
+        pts, pts, radius, k, KERNEL, self_graph=True
+    )
+    samp = np.sort(rng.choice(n, s, replace=False))
+    idx_s = jnp.asarray(np.asarray(nbh.idx)[:, samp])
+    cnt_s = jnp.asarray(np.asarray(nbh.count)[:, samp])
+    q = jnp.array(np.take_along_axis(
+        np.asarray(pts), samp[None, :, None].repeat(b, 0), axis=1
+    ))
+    dnbh = build_dense_graph(
+        pts, q, radius, k, None, window=640, self_graph=False,
+    )
+    assert bool(dnbh.ok)
+    # both k_used regimes: some query TILE maxes out both rank chunks
+    # (max count > 32), some tile provably skips the second (max <= 32)
+    counts = np.asarray(dnbh.count)
+    m_pad = -(-s // 128) * 128
+    tile_max = np.pad(counts, ((0, 0), (0, m_pad - s))).reshape(
+        b, -1, 128
+    ).max(axis=2)
+    assert tile_max.max() > 32 and tile_max.min() <= 32
+    out_ref, _ = max_pool3d(feats, idx_s, cnt_s)
+    out_d, _ = dense_max_pool3d(feats, dnbh, with_index=False)
+    np.testing.assert_array_equal(
+        np.asarray(out_d, np.float32), np.asarray(out_ref, np.float32)
+    )
+
+    def loss_d(f):
+        return jnp.sum(jnp.cos(
+            dense_max_pool3d(f, dnbh, with_index=False)[0].astype(jnp.float32)
+        ))
+
+    gd = np.asarray(jax.grad(loss_d)(feats), np.float32)
+    # exact f32 oracle: ALL of dout to the first-max input point
+    # (ref tf_pool3d_gpu.cu:38-50). The classic path agrees semantically
+    # but scatters sequentially in bf16, so compare against the oracle
+    # (dense accumulates in f32; only the final bf16 round remains).
+    _, arg_ref2 = max_pool3d(feats, idx_s, cnt_s)
+    out_np = np.asarray(out_ref, np.float32)
+    arg_np = np.asarray(arg_ref2)
+    dout = -np.sin(out_np)
+    exp = np.zeros((b, n, c), np.float64)
+    for bi in range(b):
+        for m in range(s):
+            if np.asarray(cnt_s)[bi, m] == 0:
+                continue
+            np.add.at(exp[bi], (arg_np[bi, m], np.arange(c)), dout[bi, m])
+    err = np.abs(gd - exp.astype(np.float32))
+    assert err.max() <= 0.02 * np.abs(exp).max() + 0.02, err.max()
