@@ -81,6 +81,10 @@ def main():
         tag = "SPH3DSceneSeg"
 
     state = factory.init_state(jax.random.key(0), batch)
+    # stage once: a numpy batch would re-upload every step and the
+    # DevicePut transfers would pollute the device trace (~13ms at
+    # S3DIS batch sizes over the relay)
+    batch = jax.device_put(batch)
     step = factory.train_step()
     key = jax.random.key(1)
     state, m = step(state, batch, key)
@@ -126,9 +130,19 @@ def main():
     )
     with gzip.open(paths[-1]) as f:
         trace = json.load(f)
+    # device-track events only: host rows (PjitFunction dispatch,
+    # DevicePut, ParseArguments) measure wall/dispatch time, not chip
+    # time, and used to masquerade as ~35ms of "unmapped" step cost
+    device_pids = {
+        e["pid"]
+        for e in trace["traceEvents"]
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+        and "/device:" in str(e.get("args", {}).get("name", ""))
+    }
     events = [
         e for e in trace["traceEvents"]
         if e.get("ph") == "X" and e.get("dur", 0) > 200
+        and e.get("pid") in device_pids
     ]
     agg = collections.Counter()
     unmapped = collections.Counter()

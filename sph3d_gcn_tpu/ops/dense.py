@@ -433,7 +433,9 @@ def _dense_conv_bwd_kernel(
         f_r = filt_ref[r].astype(jnp.float32)              # (cc, F)
         dout_r = dout_ref[0, r].astype(jnp.float32) * inv  # (cc, T)
         ds = ds + f_r[:, :, None] * dout_r[:, None, :]
-    ds_scr[...] = ds.reshape(cc, f_bins * TILE)
+    # staged in the MATMUL dtype: the dfw dot reads it every W chunk, so
+    # the f32->bf16 convert happens once per tile here, not per chunk
+    ds_scr[...] = ds.reshape(cc, f_bins * TILE).astype(ds_scr.dtype)
 
     def body(c, carry):
         a = _conv_chunk_a(packed_ref, c, wch, f_bins, fw_ref.dtype)
@@ -443,7 +445,7 @@ def _dense_conv_bwd_kernel(
             preferred_element_type=jnp.float32,
         )
         dfw_ref[0, :, pl.ds(c * wch, wch)] = lax.dot_general(
-            ds_scr[...].astype(a.dtype), a, (((1,), (0,)), ((), ())),
+            ds_scr[...], a, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(dfw_ref.dtype)                      # (cc, wch)
         return carry
@@ -465,9 +467,9 @@ def _w_chunk(
 
     When the conv-kernel shape (f_bins, cc) is given, chunks whose
     backward-kernel VMEM footprint would blow the ~16MB scoped stack
-    limit are rejected: the dominant transients are the two f32
-    (cc, F*TILE) scratches, the per-chunk A one-hot (F*TILE, wch), and
-    the double-buffered I/O blocks."""
+    limit are rejected: the dominant transients are the f32 s_scr and
+    matmul-dtype ds_scr (cc, F*TILE) scratches, the per-chunk A one-hot
+    (F*TILE, wch), and the double-buffered I/O blocks."""
     best = None
     for chunk in (512, 256, 128):
         if w < chunk and chunk != 128:
@@ -475,7 +477,7 @@ def _w_chunk(
         padded = -(-w // chunk) * chunk
         if f_bins:
             vmem = (
-                2 * cc * f_bins * TILE * 4           # s_scr + ds_scr
+                cc * f_bins * TILE * (4 + itemsize)  # s_scr + ds_scr
                 + f_bins * TILE * chunk * itemsize   # A one-hot
                 + chunk * cc * 4                     # dot product tile
                 + 2 * (padded * TILE                 # packed (int8, 2buf)
@@ -569,7 +571,7 @@ def _dense_conv_for(w: int, wch: int, f_bins: int, mult: int, c_pad: int,
                                  memory_space=pltpu.VMEM),
                 ],
                 scratch_shapes=scratch + [
-                    pltpu.VMEM((cc, f_bins * TILE), jnp.float32),
+                    pltpu.VMEM((cc, f_bins * TILE), dtype),
                 ],
             ),
             out_shape=[
