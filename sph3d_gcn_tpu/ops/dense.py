@@ -354,6 +354,63 @@ def window_features(
 
 _A_CMP_DTYPE = jnp.int32  # flip to jnp.int8 to A/B the 4x-lane compare
 
+# Direct in-kernel window DMA: instead of materializing the (g, W, C)
+# feature windows in HBM (window_features) and streaming them in through
+# a BlockSpec, the kernels DMA each tile's window slab straight out of
+# the TILE-row-blocked feature array with one dynamic ``pl.ds`` on the
+# leading dim — the same pattern the query kernel uses for coordinates.
+# This kills the gather einsum + its output relayout (~2.5 ms per
+# fine-level conv/pool on the round-3 profile) and halves fw HBM
+# traffic; the backward still emits per-tile dfw maps, and the window
+# scatter (the gather's exact transpose) runs as one XLA one-hot matmul
+# in _window_scatter. Default OFF until the Mosaic lowering is validated
+# on a real chip (interpret-mode parity is covered by
+# tests/test_dense.py::test_dense_conv_pool_both_window_paths).
+_DIRECT_WIN_DMA = False
+
+
+def _blocked_feats(feats: jax.Array, wp: int, w: int) -> tuple[jax.Array, int]:
+    """(B, N, C) -> (B * nbt, TILE, C) zero-padded TILE-row blocks.
+
+    Rows are padded so a window DMA of ``wp`` rows starting at the last
+    legal s_blk (= (n_pad - w)/TILE) stays in bounds; padding rows are
+    zero, which every consumer masks out by construction (packed == 0
+    there). Returns (blocks, nbt = blocks per batch item)."""
+    b, n, c = feats.shape
+    n_pad = _round_up(n, TILE)
+    rows = n_pad + (wp - w)
+    fb = jnp.pad(feats, ((0, 0), (0, rows - n), (0, 0)))
+    return fb.reshape(b * (rows // TILE), TILE, c), rows // TILE
+
+
+def _window_scatter(
+    dfw: jax.Array, s_blk: jax.Array, nbt: int
+) -> jax.Array:
+    """Exact transpose of the direct-DMA window gather: per-tile window
+    cotangents (B, nT, Wp, C) scatter-added back to the TILE-row-blocked
+    feature array (B*nbt, TILE, C) as one batched one-hot matmul (the
+    backward of take-a-row is add-to-a-row; rides the MXU like the
+    forward would)."""
+    b, n_t, wp, c = dfw.shape
+    nbw = wp // TILE
+    ids = s_blk[..., None] + jnp.arange(nbw, dtype=jnp.int32)  # (B,nT,nbw)
+    onehot = (
+        ids.reshape(b, n_t * nbw, 1)
+        == jnp.arange(nbt, dtype=jnp.int32)
+    ).astype(dfw.dtype)
+    out = jnp.einsum(
+        "bik,bir->bkr",
+        onehot,
+        dfw.reshape(b, n_t * nbw, TILE * c),
+        preferred_element_type=jnp.float32,
+        precision=(
+            lax.Precision.DEFAULT
+            if dfw.dtype == jnp.bfloat16
+            else lax.Precision.HIGHEST
+        ),
+    ).astype(dfw.dtype)
+    return out.reshape(b * nbt, TILE, c)
+
 
 def _conv_chunk_a(packed_ref, c, wch, f_bins, dtype):
     """Chunk c's one-hot bin matrix A (F*T, wch) from the packed map."""
@@ -367,8 +424,8 @@ def _conv_chunk_a(packed_ref, c, wch, f_bins, dtype):
 
 
 def _dense_conv_fwd_kernel(
-    used_ref, packed_ref, fw_ref, filt_ref, inv_ref, out_ref, s_scr,
-    *, wch, n_wc,
+    used_ref, sblk_ref, packed_ref, fw_ref, filt_ref, inv_ref, out_ref,
+    s_scr, *rest, wch, n_wc, n_t, nbt,
 ):
     """Grid (k_c, g): one cell = one query tile (for one C chunk). The W
     sweep is an in-kernel ``fori_loop`` whose trip count is the tile's
@@ -377,15 +434,38 @@ def _dense_conv_fwd_kernel(
     tail — and a dynamic loop bound is the one skip construct Mosaic
     compiles happily (matmuls under pl.when wedge its lowering). The
     neighbor mean (ref tf_conv3d_gpu.cu:25) is fused in as the per-row
-    ``inv_ref`` scale."""
-    used = used_ref[pl.program_id(1)]
+    ``inv_ref`` scale.
+
+    With ``nbt > 0`` (direct window DMA) ``fw_ref`` is the whole
+    TILE-row-blocked feature array in ANY memory and the tile's window
+    slab is DMA'd into a VMEM scratch here (one dynamic ds on the
+    leading dim, as in the query kernel); otherwise it is the
+    materialized (1, W, cc) window block."""
+    i = pl.program_id(1)
+    used = used_ref[i]
     mult, cc, f_bins = filt_ref.shape
+    if nbt:
+        fwin_scr, sem = rest
+        nbw = fwin_scr.shape[0]
+        dma = pltpu.make_async_copy(
+            fw_ref.at[pl.ds((i // n_t) * nbt + sblk_ref[i], nbw)],
+            fwin_scr, sem,
+        )
+        dma.start()
     s_scr[...] = jnp.zeros_like(s_scr)
+    if nbt:
+        dma.wait()
+
+    def _fw_chunk(c):
+        if nbt:
+            wcb = wch // TILE
+            return fwin_scr[pl.ds(c * wcb, wcb)].reshape(wch, cc)
+        return fw_ref[0, pl.ds(c * wch, wch), :]
 
     def body(c, carry):
-        a = _conv_chunk_a(packed_ref, c, wch, f_bins, fw_ref.dtype)
+        a = _conv_chunk_a(packed_ref, c, wch, f_bins, filt_ref.dtype)
         s_scr[...] += lax.dot_general(
-            fw_ref[0, pl.ds(c * wch, wch), :], a,
+            _fw_chunk(c), a,
             (((0,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                           # (cc, F*T)
@@ -402,9 +482,8 @@ def _dense_conv_fwd_kernel(
 
 
 def _dense_conv_bwd_kernel(
-    used_ref, packed_ref, fw_ref, filt_ref, inv_ref, dout_ref,
-    dfw_ref, dfilt_ref, s_scr, ds_scr,
-    *, wch, n_wc,
+    used_ref, sblk_ref, packed_ref, fw_ref, filt_ref, inv_ref, dout_ref,
+    dfw_ref, dfilt_ref, s_scr, ds_scr, *rest, wch, n_wc, n_t, nbt,
 ):
     """Same grid as forward. Recomputes S (A never stored); emits
     dfw^T[c, w] = sum_(f,t) dS[c,(f,t)] A[(f,t),w] per W chunk and
@@ -413,15 +492,28 @@ def _dense_conv_bwd_kernel(
     deterministic). Chunks past the tile's last nonempty one are skipped
     by the loop bound; their dfw slots were zeroed up front.
 
+    ``nbt > 0`` selects direct window DMA for fw, as in the forward
+    kernel (dfw still goes out as per-tile maps — the window scatter is
+    one XLA one-hot matmul, _window_scatter).
+
     The (C, W) output orientation is deliberate: emitting (W, C)
     directly (to skip the HBM swapaxes after) needs a contract-on-dim-0
     dot whose transposed A copy Mosaic materializes through the slow
     shuffle path — measured +6ms per fine-level conv, far more than the
     ~1.2ms swapaxes it saves (round-3 A/B)."""
-    used = used_ref[pl.program_id(1)]
+    i = pl.program_id(1)
+    used = used_ref[i]
     mult, cc, f_bins = filt_ref.shape
+    if nbt:
+        fwin_scr, sem = rest
+        nbw = fwin_scr.shape[0]
+        dma = pltpu.make_async_copy(
+            fw_ref.at[pl.ds((i // n_t) * nbt + sblk_ref[i], nbw)],
+            fwin_scr, sem,
+        )
+        dma.start()
 
-    @pl.when(pl.program_id(1) == 0)
+    @pl.when(i == 0)
     def _():
         dfilt_ref[...] = jnp.zeros_like(dfilt_ref)
 
@@ -436,11 +528,19 @@ def _dense_conv_bwd_kernel(
     # staged in the MATMUL dtype: the dfw dot reads it every W chunk, so
     # the f32->bf16 convert happens once per tile here, not per chunk
     ds_scr[...] = ds.reshape(cc, f_bins * TILE).astype(ds_scr.dtype)
+    if nbt:
+        dma.wait()
+
+    def _fw_chunk(c):
+        if nbt:
+            wcb = wch // TILE
+            return fwin_scr[pl.ds(c * wcb, wcb)].reshape(wch, cc)
+        return fw_ref[0, pl.ds(c * wch, wch), :]
 
     def body(c, carry):
-        a = _conv_chunk_a(packed_ref, c, wch, f_bins, fw_ref.dtype)
+        a = _conv_chunk_a(packed_ref, c, wch, f_bins, filt_ref.dtype)
         s_scr[...] += lax.dot_general(
-            fw_ref[0, pl.ds(c * wch, wch), :], a,
+            _fw_chunk(c), a,
             (((0,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -494,95 +594,116 @@ def _w_chunk(
 
 @functools.lru_cache(maxsize=None)
 def _dense_conv_for(w: int, wch: int, f_bins: int, mult: int, c_pad: int,
-                    n_cc: int, dtype_name: str):
-    """w is the PADDED window (a multiple of the chunk width wch)."""
+                    n_cc: int, dtype_name: str, n_t: int = 0, nbt: int = 0):
+    """w is the PADDED window (a multiple of the chunk width wch).
+
+    With ``nbt > 0`` the returned op takes the TILE-row-blocked feature
+    array (B*nbt, TILE, cc) instead of materialized windows and DMAs
+    each tile's slab in-kernel (direct window DMA); its cotangent is the
+    blocked array too (per-tile dfw maps scattered by _window_scatter).
+    """
     dtype = jnp.dtype(dtype_name)
     cc = c_pad // n_cc
     assert w % wch == 0
     n_wc = w // wch
+    kparams = dict(wch=wch, n_wc=n_wc, n_t=n_t, nbt=nbt)
     scratch = [
         pltpu.VMEM((cc, f_bins * TILE), jnp.float32),
     ]
+    if nbt:
+        fw_spec = pl.BlockSpec(memory_space=pl.ANY)
+        dma_scratch = [
+            pltpu.VMEM((w // TILE, TILE, cc), dtype),
+            pltpu.SemaphoreType.DMA,
+        ]
+    else:
+        fw_spec = pl.BlockSpec((1, w, cc), lambda k, i, s, s2: (i, 0, k),
+                               memory_space=pltpu.VMEM)
+        dma_scratch = []
 
-    def fwd_impl(used, packed, fw, filt_rcf, inv):
+    def fwd_impl(used, sblk, packed, fw, filt_rcf, inv):
         g_dim = packed.shape[0]
         return pl.pallas_call(
-            functools.partial(_dense_conv_fwd_kernel, wch=wch, n_wc=n_wc),
+            functools.partial(_dense_conv_fwd_kernel, **kparams),
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
+                num_scalar_prefetch=2,
                 grid=(n_cc, g_dim),
                 in_specs=[
                     pl.BlockSpec((1, TILE, w),
-                                 lambda k, i, s: (i, 0, 0),
+                                 lambda k, i, s, s2: (i, 0, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, w, cc),
-                                 lambda k, i, s: (i, 0, k),
-                                 memory_space=pltpu.VMEM),
+                    fw_spec,
                     pl.BlockSpec((mult, cc, f_bins),
-                                 lambda k, i, s: (0, k, 0),
+                                 lambda k, i, s, s2: (0, k, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((1, 1, TILE),
-                                 lambda k, i, s: (i, 0, 0),
+                                 lambda k, i, s, s2: (i, 0, 0),
                                  memory_space=pltpu.VMEM),
                 ],
                 out_specs=pl.BlockSpec(
-                    (1, mult, cc, TILE), lambda k, i, s: (i, 0, k, 0),
+                    (1, mult, cc, TILE), lambda k, i, s, s2: (i, 0, k, 0),
                     memory_space=pltpu.VMEM,
                 ),
-                scratch_shapes=scratch,
+                scratch_shapes=scratch + dma_scratch,
             ),
             out_shape=jax.ShapeDtypeStruct(
                 (g_dim, mult, c_pad, TILE), dtype
             ),
             interpret=jax.default_backend() != "tpu",
-        )(used, packed, fw, filt_rcf, inv)
+        )(used, sblk, packed, fw, filt_rcf, inv)
 
     def bwd(res, dout):
-        used, packed, fw, filt_rcf, inv = res
+        used, sblk, packed, fw, filt_rcf, inv = res
         g_dim = packed.shape[0]
         dfw_t, dfilt_t = pl.pallas_call(
-            functools.partial(_dense_conv_bwd_kernel, wch=wch, n_wc=n_wc),
+            functools.partial(_dense_conv_bwd_kernel, **kparams),
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
+                num_scalar_prefetch=2,
                 grid=(n_cc, g_dim),
                 in_specs=[
                     pl.BlockSpec((1, TILE, w),
-                                 lambda k, i, s: (i, 0, 0),
+                                 lambda k, i, s, s2: (i, 0, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, w, cc),
-                                 lambda k, i, s: (i, 0, k),
-                                 memory_space=pltpu.VMEM),
+                    fw_spec,
                     pl.BlockSpec((mult, cc, f_bins),
-                                 lambda k, i, s: (0, k, 0),
+                                 lambda k, i, s, s2: (0, k, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((1, 1, TILE),
-                                 lambda k, i, s: (i, 0, 0),
+                                 lambda k, i, s, s2: (i, 0, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((1, mult, cc, TILE),
-                                 lambda k, i, s: (i, 0, k, 0),
+                                 lambda k, i, s, s2: (i, 0, k, 0),
                                  memory_space=pltpu.VMEM),
                 ],
                 out_specs=[
                     pl.BlockSpec((1, cc, w),
-                                 lambda k, i, s: (i, k, 0),
+                                 lambda k, i, s, s2: (i, k, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((mult, cc, f_bins),
-                                 lambda k, i, s: (0, k, 0),
+                                 lambda k, i, s, s2: (0, k, 0),
                                  memory_space=pltpu.VMEM),
                 ],
                 scratch_shapes=scratch + [
                     pltpu.VMEM((cc, f_bins * TILE), dtype),
-                ],
+                ] + dma_scratch,
             ),
             out_shape=[
                 jax.ShapeDtypeStruct((g_dim, c_pad, w), dtype),
                 jax.ShapeDtypeStruct((mult, c_pad, f_bins), jnp.float32),
             ],
             interpret=jax.default_backend() != "tpu",
-        )(used, packed, fw, filt_rcf, inv, dout)
+        )(used, sblk, packed, fw, filt_rcf, inv, dout)
         dfw = jnp.swapaxes(dfw_t, 1, 2)              # (g, W, C_pad)
+        if nbt:
+            batch = g_dim // n_t
+            dfw = _window_scatter(
+                dfw.reshape(batch, n_t, w, c_pad),
+                sblk.reshape(batch, n_t),
+                nbt,
+            )
         return (
             jnp.zeros(used.shape, dtype=jax.dtypes.float0),
+            jnp.zeros(sblk.shape, dtype=jax.dtypes.float0),
             jnp.zeros(packed.shape, dtype=jax.dtypes.float0),
             dfw,
             dfilt_t.astype(filt_rcf.dtype),
@@ -590,13 +711,13 @@ def _dense_conv_for(w: int, wch: int, f_bins: int, mult: int, c_pad: int,
         )
 
     @jax.custom_vjp
-    def f(used, packed, fw, filt_rcf, inv):
-        return fwd_impl(used, packed, fw, filt_rcf, inv)
+    def f(used, sblk, packed, fw, filt_rcf, inv):
+        return fwd_impl(used, sblk, packed, fw, filt_rcf, inv)
 
     f.defvjp(
-        lambda used, packed, fw, filt_rcf, inv: (
-            fwd_impl(used, packed, fw, filt_rcf, inv),
-            (used, packed, fw, filt_rcf, inv),
+        lambda used, sblk, packed, fw, filt_rcf, inv: (
+            fwd_impl(used, sblk, packed, fw, filt_rcf, inv),
+            (used, sblk, packed, fw, filt_rcf, inv),
         ),
         bwd,
     )
@@ -609,18 +730,43 @@ def _dense_conv_for(w: int, wch: int, f_bins: int, mult: int, c_pad: int,
 # (row = f * tc + t) so the in-kernel (F*tc, C) -> (F, tc, C) reshape is
 # a pure leading-dim split Mosaic accepts.
 
-def _dense_conv_rm_fwd_kernel(packed_ref, fw_ref, filt_ref, out_ref):
+def _rm_fw(fw_ref, rest, sblk_ref, n_t, nbt):
+    """The (W, C) window operand: the VMEM block, or (direct mode) a
+    slab DMA'd from the blocked feature array at row-chunk 0 (the
+    scratch persists across the inner row-chunk grid axis)."""
+    if not nbt:
+        return fw_ref[0], None
+    fwin_scr, sem = rest
+    i = pl.program_id(0)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dma = pltpu.make_async_copy(
+            fw_ref.at[pl.ds((i // n_t) * nbt + sblk_ref[i], fwin_scr.shape[0])],
+            fwin_scr, sem,
+        )
+        dma.start()
+        dma.wait()
+
+    nbw, _, c = fwin_scr.shape
+    return fwin_scr[...].reshape(nbw * TILE, c), None
+
+
+def _dense_conv_rm_fwd_kernel(
+    sblk_ref, packed_ref, fw_ref, filt_ref, out_ref, *rest, n_t, nbt,
+):
     """out[t, r*C + c] = (sum_w sum_f [packed==f+1] fw[w,c] filt[r,f,c])
     for one (tile, row-chunk); the neighbor mean is applied outside."""
     packed = packed_ref[0].astype(_A_CMP_DTYPE)   # (tc, W)
     tc, w = packed.shape
     mult, f_bins, c = filt_ref.shape
+    fw, _ = _rm_fw(fw_ref, rest, sblk_ref, n_t, nbt)
     f_iota = lax.broadcasted_iota(_A_CMP_DTYPE, (f_bins, tc, w), 0)
     a = (packed[None, :, :] == f_iota + jnp.asarray(1, _A_CMP_DTYPE)).reshape(
         f_bins * tc, w
-    ).astype(fw_ref.dtype)
+    ).astype(filt_ref.dtype)
     s = jnp.dot(
-        a, fw_ref[0], preferred_element_type=jnp.float32
+        a, fw, preferred_element_type=jnp.float32
     ).reshape(f_bins, tc, c)                       # f32
     outs = []
     for r in range(mult):
@@ -630,7 +776,8 @@ def _dense_conv_rm_fwd_kernel(packed_ref, fw_ref, filt_ref, out_ref):
 
 
 def _dense_conv_rm_bwd_kernel(
-    packed_ref, fw_ref, filt_ref, dout_ref, dfw_ref, dfilt_ref
+    sblk_ref, packed_ref, fw_ref, filt_ref, dout_ref, dfw_ref, dfilt_ref,
+    *rest, n_t, nbt,
 ):
     """Recomputes S per chunk (A never stored), then:
     dfilt[r,f,c] += sum_t S[f,t,c] dout[t, r*C+c]  (accumulated all steps)
@@ -639,12 +786,13 @@ def _dense_conv_rm_bwd_kernel(
     packed = packed_ref[0].astype(_A_CMP_DTYPE)
     tc, w = packed.shape
     mult, f_bins, c = filt_ref.shape
+    fw, _ = _rm_fw(fw_ref, rest, sblk_ref, n_t, nbt)
     f_iota = lax.broadcasted_iota(_A_CMP_DTYPE, (f_bins, tc, w), 0)
     a = (packed[None, :, :] == f_iota + jnp.asarray(1, _A_CMP_DTYPE)).reshape(
         f_bins * tc, w
-    ).astype(fw_ref.dtype)
+    ).astype(filt_ref.dtype)
     s = jnp.dot(
-        a, fw_ref[0], preferred_element_type=jnp.float32
+        a, fw, preferred_element_type=jnp.float32
     ).reshape(f_bins, tc, c)
 
     @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
@@ -684,75 +832,100 @@ def _rm_t_chunk_for(f_bins: int, w: int, c: int, itemsize: int) -> int:
 
 
 @functools.lru_cache(maxsize=None)
-def _dense_conv_rm_for(w: int, f_bins: int, mult: int, dtype_name: str):
+def _dense_conv_rm_for(w: int, f_bins: int, mult: int, dtype_name: str,
+                       c: int, n_t: int = 0, nbt: int = 0):
+    """``nbt > 0``: direct window DMA, as in _dense_conv_for."""
     dtype = jnp.dtype(dtype_name)
+    tc = _rm_t_chunk_for(f_bins, w, c, dtype.itemsize)
+    kparams = dict(n_t=n_t, nbt=nbt)
+    if nbt:
+        fw_spec = pl.BlockSpec(memory_space=pl.ANY)
+        dma_scratch = [
+            pltpu.VMEM((w // TILE, TILE, c), dtype),
+            pltpu.SemaphoreType.DMA,
+        ]
+    else:
+        fw_spec = pl.BlockSpec((1, w, c), lambda i, j, s: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+        dma_scratch = []
 
-    def fwd_impl(packed, fw, filt_rfc):
+    def fwd_impl(sblk, packed, fw, filt_rfc):
         g_dim, t, _ = packed.shape
-        c = fw.shape[-1]
-        tc = _rm_t_chunk_for(f_bins, w, c, dtype.itemsize)
         return pl.pallas_call(
-            _dense_conv_rm_fwd_kernel,
-            grid=(g_dim, t // tc),
-            in_specs=[
-                pl.BlockSpec((1, tc, w), lambda i, j: (i, j, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, w, c), lambda i, j: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((mult, f_bins, c), lambda i, j: (0, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec(
-                (1, tc, mult * c), lambda i, j: (i, j, 0),
-                memory_space=pltpu.VMEM,
+            functools.partial(_dense_conv_rm_fwd_kernel, **kparams),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(g_dim, t // tc),
+                in_specs=[
+                    pl.BlockSpec((1, tc, w), lambda i, j, s: (i, j, 0),
+                                 memory_space=pltpu.VMEM),
+                    fw_spec,
+                    pl.BlockSpec((mult, f_bins, c), lambda i, j, s: (0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, tc, mult * c), lambda i, j, s: (i, j, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                scratch_shapes=dma_scratch,
             ),
             out_shape=jax.ShapeDtypeStruct((g_dim, t, mult * c), dtype),
             interpret=jax.default_backend() != "tpu",
-        )(packed, fw, filt_rfc)
+        )(sblk, packed, fw, filt_rfc)
 
     def bwd(res, dout):
-        packed, fw, filt_rfc = res
+        sblk, packed, fw, filt_rfc = res
         g_dim, t, _ = packed.shape
-        c = fw.shape[-1]
-        tc = _rm_t_chunk_for(f_bins, w, c, dtype.itemsize)
         dfw, dfilt = pl.pallas_call(
-            _dense_conv_rm_bwd_kernel,
-            grid=(g_dim, t // tc),
-            in_specs=[
-                pl.BlockSpec((1, tc, w), lambda i, j: (i, j, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, w, c), lambda i, j: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((mult, f_bins, c), lambda i, j: (0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tc, mult * c), lambda i, j: (i, j, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((1, w, c), lambda i, j: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((mult, f_bins, c), lambda i, j: (0, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            functools.partial(_dense_conv_rm_bwd_kernel, **kparams),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(g_dim, t // tc),
+                in_specs=[
+                    pl.BlockSpec((1, tc, w), lambda i, j, s: (i, j, 0),
+                                 memory_space=pltpu.VMEM),
+                    fw_spec,
+                    pl.BlockSpec((mult, f_bins, c), lambda i, j, s: (0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, tc, mult * c), lambda i, j, s: (i, j, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=[
+                    pl.BlockSpec((1, w, c), lambda i, j, s: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((mult, f_bins, c), lambda i, j, s: (0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                scratch_shapes=dma_scratch,
+            ),
             out_shape=[
                 jax.ShapeDtypeStruct((g_dim, w, c), dtype),
                 jax.ShapeDtypeStruct((mult, f_bins, c), jnp.float32),
             ],
             interpret=jax.default_backend() != "tpu",
-        )(packed, fw, filt_rfc, dout)
+        )(sblk, packed, fw, filt_rfc, dout)
+        if nbt:
+            batch = g_dim // n_t
+            dfw = _window_scatter(
+                dfw.reshape(batch, n_t, w, c),
+                sblk.reshape(batch, n_t),
+                nbt,
+            )
         return (
+            jnp.zeros(sblk.shape, dtype=jax.dtypes.float0),
             jnp.zeros(packed.shape, dtype=jax.dtypes.float0),
             dfw,
             dfilt.astype(filt_rfc.dtype),
         )
 
     @jax.custom_vjp
-    def f(packed, fw, filt_rfc):
-        return fwd_impl(packed, fw, filt_rfc)
+    def f(sblk, packed, fw, filt_rfc):
+        return fwd_impl(sblk, packed, fw, filt_rfc)
 
     f.defvjp(
-        lambda packed, fw, filt_rfc: (
-            fwd_impl(packed, fw, filt_rfc), (packed, fw, filt_rfc)
+        lambda sblk, packed, fw, filt_rfc: (
+            fwd_impl(sblk, packed, fw, filt_rfc),
+            (sblk, packed, fw, filt_rfc),
         ),
         bwd,
     )
@@ -823,17 +996,24 @@ def dense_depthwise_conv3d(
         wch, wp = _w_chunk(
             w, f_bins, c_in, jnp.dtype(compute_dtype).itemsize
         )
-        fw = window_features(inputs, dnbh, pad_to=wp).reshape(
-            batch * n_t, wp, c_in
-        )
         packed = jnp.pad(dnbh.packed, ((0, 0), (0, 0), (0, 0), (0, wp - w)))
         packed = packed.reshape(batch * n_t, TILE, wp)
         inv = inv_cnt.reshape(batch * n_t, 1, TILE)
         filt_rcf = jnp.transpose(filt, (2, 1, 0)).astype(compute_dtype)
         used = _used_chunks(packed, wch)
+        sblk = dnbh.s_blk.reshape(-1).astype(jnp.int32)
+        if _DIRECT_WIN_DMA:
+            fw, nbt = _blocked_feats(inputs, wp, w)
+            nt_k, nbt_k = n_t, nbt
+        else:
+            fw = window_features(inputs, dnbh, pad_to=wp).reshape(
+                batch * n_t, wp, c_in
+            )
+            nt_k, nbt_k = 0, 0
         out_t = _dense_conv_for(
-            wp, wch, f_bins, mult, c_in, 1, compute_dtype.name
-        )(used, packed, fw, filt_rcf, inv)          # (g, r, C, T)
+            wp, wch, f_bins, mult, c_in, 1, compute_dtype.name,
+            nt_k, nbt_k,
+        )(used, sblk, packed, fw, filt_rcf, inv)    # (g, r, C, T)
         out_t = out_t.reshape(batch, n_t, mult, c_in, TILE)
         if pointwise is not None:
             # contract (r, C) straight out of the kernel layout; the T
@@ -850,12 +1030,18 @@ def dense_depthwise_conv3d(
             batch, m_pad, c_in * mult
         )
     else:
-        fw = window_features(inputs, dnbh).reshape(batch * n_t, w, c_in)
         packed = dnbh.packed.reshape(batch * n_t, TILE, w)
         filt_rfc = jnp.transpose(filt, (2, 0, 1)).astype(compute_dtype)
+        sblk = dnbh.s_blk.reshape(-1).astype(jnp.int32)
+        if _DIRECT_WIN_DMA:
+            fw, nbt = _blocked_feats(inputs, w, w)
+            nt_k, nbt_k = n_t, nbt
+        else:
+            fw = window_features(inputs, dnbh).reshape(batch * n_t, w, c_in)
+            nt_k, nbt_k = 0, 0
         out_r = _dense_conv_rm_for(
-            w, f_bins, mult, compute_dtype.name
-        )(packed, fw, filt_rfc)                     # (g, T, r*C) r-major
+            w, f_bins, mult, compute_dtype.name, c_in, nt_k, nbt_k
+        )(sblk, packed, fw, filt_rfc)               # (g, T, r*C) r-major
         if pointwise is not None:
             # permute the (C*r, O) kernel rows to the r-major order the
             # Pallas output uses — a (C*r, O) param-side shuffle instead
@@ -1079,8 +1265,8 @@ def _masked_window_max_pallas_for(w: int, c: int, n_cc: int,
 # semantics, deterministic).
 
 def _rank_pool_fwd_kernel(
-    used_ref, kused_ref, cnt_ref, packed_ref, fw_ref, best_ref, s_scr,
-    *, wch, kchunk, n_kc,
+    used_ref, kused_ref, sblk_ref, cnt_ref, packed_ref, fw_ref, best_ref,
+    s_scr, *rest, wch, kchunk, n_kc, n_t, nbt, cc,
 ):
     """Grid (k_c, g). Composite int32 keys as in :func:`_pool_keys`:
     monotone bf16 bits << 13 | (8191 - k), one running max for value AND
@@ -1088,12 +1274,36 @@ def _rank_pool_fwd_kernel(
     ``_POOL_EMPTY`` penalty. Rank chunks past the tile's max neighbor
     count (``kused_ref``) are skipped — their one-hots are all-zero and
     their keys all-penalized, so ``best`` is unchanged by construction
-    (S3DIS counts at r=0.1 are often << nn_uplimit, halving the sweep)."""
-    used = used_ref[pl.program_id(1)]
-    kused = kused_ref[pl.program_id(1)]
+    (S3DIS counts at r=0.1 are often << nn_uplimit, halving the sweep).
+
+    ``nbt > 0`` selects direct window DMA (single-C-chunk pools only):
+    ``fw_ref`` is the blocked feature array in ANY memory and the tile's
+    window slab is DMA'd into a VMEM scratch here, as in the conv
+    kernels."""
+    i = pl.program_id(1)
+    used = used_ref[i]
+    kused = kused_ref[i]
     t = packed_ref.shape[1]
-    cc = fw_ref.shape[2]
     cnt = cnt_ref[0]                                  # (1, T) int32
+    if nbt:
+        fwin_scr, sem = rest
+        nbw = fwin_scr.shape[0]
+        dma = pltpu.make_async_copy(
+            fw_ref.at[pl.ds((i // n_t) * nbt + sblk_ref[i], nbw)],
+            fwin_scr, sem,
+        )
+        dma.start()
+        dma.wait()
+        fw_dtype = fwin_scr.dtype
+    else:
+        fw_dtype = fw_ref.dtype
+
+    def _fw_chunk(c):
+        if nbt:
+            wcb = wch // TILE
+            cc_w = fwin_scr.shape[2]
+            return fwin_scr[pl.ds(c * wcb, wcb)].reshape(wch, cc_w)
+        return fw_ref[0, pl.ds(c * wch, wch), :]
 
     def ki_body(ki, best):
         s_scr[...] = jnp.zeros_like(s_scr)
@@ -1103,9 +1313,9 @@ def _rank_pool_fwd_kernel(
             k_iota = lax.broadcasted_iota(jnp.int32, (kchunk, t, wch), 0)
             r = (pk[None, :, :] == k_iota + ki * kchunk + 1).reshape(
                 kchunk * t, wch
-            ).astype(fw_ref.dtype)
+            ).astype(fw_dtype)
             s_scr[...] += lax.dot_general(
-                r, fw_ref[0, pl.ds(c * wch, wch), :],
+                r, _fw_chunk(c),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                         # (kchunk*T, cc)
@@ -1173,40 +1383,59 @@ def _rank_pool_bwd_kernel(
 
 @functools.lru_cache(maxsize=None)
 def _rank_window_max_for(wp: int, wch: int, c: int, n_cc: int,
-                         kchunk: int, n_kc: int, dtype_name: str):
-    """custom_vjp factory for the rank-compacted masked max."""
+                         kchunk: int, n_kc: int, dtype_name: str,
+                         n_t: int = 0, nbt: int = 0):
+    """custom_vjp factory for the rank-compacted masked max.
+
+    ``nbt > 0`` (requires n_cc == 1): direct window DMA — the op takes
+    the TILE-row-blocked feature array and its cotangent is the blocked
+    array (per-tile dfw scattered by _window_scatter)."""
     dtype = jnp.dtype(dtype_name)
     cc = c // n_cc
     assert wp % wch == 0 and c % n_cc == 0
+    assert not nbt or n_cc == 1
+    if nbt:
+        fw_spec = pl.BlockSpec(memory_space=pl.ANY)
+        dma_scratch = [
+            pltpu.VMEM((wp // TILE, TILE, cc), dtype),
+            pltpu.SemaphoreType.DMA,
+        ]
+    else:
+        fw_spec = pl.BlockSpec((1, wp, cc),
+                               lambda k, i, s, s2, s3: (i, 0, k),
+                               memory_space=pltpu.VMEM)
+        dma_scratch = []
 
-    def fwd_impl(used, kused, counts, packed, fw):
+    def fwd_impl(used, kused, sblk, counts, packed, fw):
         g = packed.shape[0]
         best = pl.pallas_call(
             functools.partial(
-                _rank_pool_fwd_kernel, wch=wch, kchunk=kchunk, n_kc=n_kc
+                _rank_pool_fwd_kernel, wch=wch, kchunk=kchunk, n_kc=n_kc,
+                n_t=n_t, nbt=nbt, cc=cc,
             ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=2,
+                num_scalar_prefetch=3,
                 grid=(n_cc, g),
                 in_specs=[
-                    pl.BlockSpec((1, 1, TILE), lambda k, i, s, s2: (i, 0, 0),
+                    pl.BlockSpec((1, 1, TILE),
+                                 lambda k, i, s, s2, s3: (i, 0, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, TILE, wp), lambda k, i, s, s2: (i, 0, 0),
+                    pl.BlockSpec((1, TILE, wp),
+                                 lambda k, i, s, s2, s3: (i, 0, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, wp, cc), lambda k, i, s, s2: (i, 0, k),
-                                 memory_space=pltpu.VMEM),
+                    fw_spec,
                 ],
                 out_specs=pl.BlockSpec(
-                    (1, TILE, cc), lambda k, i, s, s2: (i, 0, k),
+                    (1, TILE, cc), lambda k, i, s, s2, s3: (i, 0, k),
                     memory_space=pltpu.VMEM,
                 ),
                 scratch_shapes=[
                     pltpu.VMEM((kchunk * TILE, cc), jnp.float32)
-                ],
+                ] + dma_scratch,
             ),
             out_shape=jax.ShapeDtypeStruct((g, TILE, c), jnp.int32),
             interpret=jax.default_backend() != "tpu",
-        )(used, kused, counts, packed, fw)
+        )(used, kused, sblk, counts, packed, fw)
         # real keys are > 0 (mono >= 0x8000 for any non-negative bf16,
         # and 8191 - k > 8000 even at mono == 0), penalized/empty < 0
         empty = best <= 0
@@ -1221,7 +1450,7 @@ def _rank_window_max_for(wp: int, wch: int, c: int, n_cc: int,
         return out, arg
 
     def bwd(res, cts):
-        used, kused, packed, arg, g = res
+        used, kused, sblk, packed, arg, g = res
         dout, _ = cts                    # int argmax has zero cotangent
         dfw = pl.pallas_call(
             functools.partial(
@@ -1247,21 +1476,31 @@ def _rank_window_max_for(wp: int, wch: int, c: int, n_cc: int,
             out_shape=jax.ShapeDtypeStruct((g, wp, c), dtype),
             interpret=jax.default_backend() != "tpu",
         )(used, kused, packed, arg, dout.astype(dtype))
+        if nbt:
+            batch = g // n_t
+            dfw = _window_scatter(
+                dfw.reshape(batch, n_t, wp, c),
+                sblk.reshape(batch, n_t),
+                nbt,
+            )
         return (
             jnp.zeros(used.shape, dtype=jax.dtypes.float0),
             jnp.zeros(kused.shape, dtype=jax.dtypes.float0),
+            jnp.zeros(sblk.shape, dtype=jax.dtypes.float0),
             jnp.zeros((g, 1, TILE), dtype=jax.dtypes.float0),
             jnp.zeros((g, TILE, wp), dtype=jax.dtypes.float0),
             dfw,
         )
 
     @jax.custom_vjp
-    def f(used, kused, counts, packed, fw):
-        return fwd_impl(used, kused, counts, packed, fw)
+    def f(used, kused, sblk, counts, packed, fw):
+        return fwd_impl(used, kused, sblk, counts, packed, fw)
 
-    def fwd_rule(used, kused, counts, packed, fw):
-        out, arg = fwd_impl(used, kused, counts, packed, fw)
-        return (out, arg), (used, kused, packed, arg, packed.shape[0])
+    def fwd_rule(used, kused, sblk, counts, packed, fw):
+        out, arg = fwd_impl(used, kused, sblk, counts, packed, fw)
+        return (out, arg), (
+            used, kused, sblk, packed, arg, packed.shape[0]
+        )
 
     f.defvjp(fwd_rule, bwd)
     return f
@@ -1400,9 +1639,6 @@ def dense_max_pool3d(
     ):
         # rank-compacted MXU path (see _rank_pool_fwd_kernel)
         wch, wp = _w_chunk(w)
-        fw = window_features(inputs, dnbh, pad_to=wp).reshape(
-            batch * n_t, wp, c
-        )
         packed = jnp.pad(dnbh.packed, ((0, 0), (0, 0), (0, 0), (0, wp - w)))
         packed = packed.reshape(batch * n_t, TILE, wp)
         counts = jnp.pad(
@@ -1418,9 +1654,19 @@ def dense_max_pool3d(
               // kchunk),
             1, n_kc,
         ).astype(jnp.int32)
+        sblk = dnbh.s_blk.reshape(-1).astype(jnp.int32)
+        if _DIRECT_WIN_DMA and n_cc == 1:
+            fw, nbt = _blocked_feats(inputs, wp, w)
+            nt_k, nbt_k = n_t, nbt
+        else:
+            fw = window_features(inputs, dnbh, pad_to=wp).reshape(
+                batch * n_t, wp, c
+            )
+            nt_k, nbt_k = 0, 0
         out, arg = _rank_window_max_for(
-            wp, wch, c, n_cc, kchunk, n_kc, inputs.dtype.name
-        )(used, kused, counts, packed, fw)
+            wp, wch, c, n_cc, kchunk, n_kc, inputs.dtype.name,
+            nt_k, nbt_k,
+        )(used, kused, sblk, counts, packed, fw)
     elif (
         inputs.dtype == jnp.bfloat16
         and w % _POOL_WSUB == 0

@@ -447,7 +447,7 @@ def dense_query_pallas(
                     lambda g, s, u: (g // n_t, g % n_t, 0),
                     memory_space=pltpu.VMEM,
                 ),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=out_specs,
             scratch_shapes=scratch,

@@ -700,3 +700,85 @@ def test_dense_maxpool_rank_kused_skip_matches_classic():
             np.add.at(exp[bi], (arg_np[bi, m], np.arange(c)), dout[bi, m])
     err = np.abs(gd - exp.astype(np.float32))
     assert err.max() <= 0.02 * np.abs(exp).max() + 0.02, err.max()
+
+
+@pytest.mark.parametrize("direct", [False, True])
+def test_dense_conv_pool_both_window_paths(direct, monkeypatch):
+    """Both window-feed modes — materialized (g, W, C) HBM windows and
+    direct in-kernel window DMA from the TILE-row-blocked feature array
+    (ops/dense.py _DIRECT_WIN_DMA) — must match the classic ops exactly,
+    values and grads, in all three kernels (transposed conv C<=128,
+    row-major conv C>128, rank-compacted bf16 pool). The lru_cache
+    factories key on (n_t, nbt) so both variants coexist."""
+    import sph3d_gcn_tpu.ops.dense as dense_mod
+
+    monkeypatch.setattr(dense_mod, "_DIRECT_WIN_DMA", direct)
+    rng = np.random.default_rng(17)
+    b, n, k = 2, 300, 7
+    pts = jnp.array(_sorted_cloud(rng, b, n))
+    radius = 0.35
+    nbh, bins = build_sphere_neighbor_and_bins(
+        pts, pts, radius, k, KERNEL, self_graph=True
+    )
+    dnbh = build_dense_graph(
+        pts, pts, radius, k, KERNEL, window=384, self_graph=True
+    )
+    assert bool(dnbh.ok)
+
+    for c in (6, 160):  # transposed (C<=128) and row-major (C>128)
+        feats = jnp.array(rng.standard_normal((b, n, c)).astype(np.float32))
+        filt = jnp.array(
+            rng.standard_normal((F_BINS, c, 2)).astype(np.float32)
+        )
+        ref = np.asarray(
+            depthwise_conv3d(feats, filt, nbh.idx, nbh.count, bins)
+        )
+        got = np.asarray(dense_depthwise_conv3d(feats, filt, dnbh))
+        np.testing.assert_allclose(got, ref, rtol=2e-6, atol=2e-6)
+        g_d = jax.grad(lambda f, w: jnp.sum(jnp.sin(
+            dense_depthwise_conv3d(f, w, dnbh))), argnums=(0, 1)
+        )(feats, filt)
+        g_r = jax.grad(lambda f, w: jnp.sum(jnp.sin(
+            depthwise_conv3d(f, w, nbh.idx, nbh.count, bins))),
+            argnums=(0, 1)
+        )(feats, filt)
+        for a, e in zip(g_d, g_r):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(e), rtol=1e-4, atol=2e-5
+            )
+
+    # rank-compacted bf16 pool (kernel=None maps, c=64, tie-free values)
+    c = 64
+    samp = np.sort(rng.choice(n, 75, replace=False))
+    idx_s = jnp.asarray(np.asarray(nbh.idx)[:, samp])
+    cnt_s = jnp.asarray(np.asarray(nbh.count)[:, samp])
+    dnbh_p = build_dense_graph(
+        pts,
+        jnp.array(np.take_along_axis(
+            np.asarray(pts), samp[None, :, None].repeat(b, 0), axis=1
+        )),
+        radius, k, None, window=384, self_graph=False,
+    )
+    assert bool(dnbh_p.ok)
+    pool_vals = np.unique(
+        np.linspace(1.0, 15.9, 8000).astype(np.float32)
+        .astype(jnp.bfloat16).astype(np.float32)
+    )
+    vals = np.stack([
+        rng.choice(pool_vals, n, replace=False) for _ in range(b * c)
+    ]).reshape(b, c, n).transpose(0, 2, 1)
+    feats = jnp.array(vals.astype(np.float32)).astype(jnp.bfloat16)
+    out_ref, _ = max_pool3d(feats, idx_s, cnt_s)
+    out_d, _ = dense_max_pool3d(feats, dnbh_p, with_index=False)
+    np.testing.assert_array_equal(
+        np.asarray(out_d, np.float32), np.asarray(out_ref, np.float32)
+    )
+    g_d = jax.grad(lambda f: jnp.sum(jnp.sin(
+        dense_max_pool3d(f, dnbh_p, with_index=False)[0]
+        .astype(jnp.float32))))(feats)
+    g_r = jax.grad(lambda f: jnp.sum(jnp.sin(
+        max_pool3d(f, idx_s, cnt_s)[0].astype(jnp.float32))))(feats)
+    np.testing.assert_allclose(
+        np.asarray(g_d, np.float32), np.asarray(g_r, np.float32),
+        rtol=1e-2, atol=1e-3,
+    )
