@@ -43,11 +43,23 @@ def make_optimizer(
     learning_rate: float | optax.Schedule = 0.001,
     momentum: float = 0.9,
     adam_epsilon: float = 1e-8,
+    flatten: bool = True,
 ) -> optax.GradientTransformation:
     """'adam' (eps configurable) or Nesterov 'momentum'
-    (ref train_modelnet.py:179-182)."""
+    (ref train_modelnet.py:179-182).
+
+    ``flatten`` wraps the (elementwise) transformation in
+    ``optax.flatten``: the update runs on one raveled parameter vector
+    instead of ~10^2 per-leaf tensors, collapsing the long tail of tiny
+    XLA fusions the per-leaf update schedules on TPU. Semantically
+    identical for Adam/SGD; only the optimizer-state layout changes
+    (mu/nu are stored raveled), so checkpoints written either way only
+    restore with the same setting.
+    """
     if optimizer == "adam":
-        return optax.adam(learning_rate, eps=adam_epsilon)
-    if optimizer == "momentum":
-        return optax.sgd(learning_rate, momentum=momentum, nesterov=True)
-    raise ValueError(f"Unknown optimizer {optimizer!r}")
+        tx = optax.adam(learning_rate, eps=adam_epsilon)
+    elif optimizer == "momentum":
+        tx = optax.sgd(learning_rate, momentum=momentum, nesterov=True)
+    else:
+        raise ValueError(f"Unknown optimizer {optimizer!r}")
+    return optax.flatten(tx) if flatten else tx
