@@ -236,3 +236,143 @@ def test_point_sharded_halo_violation_flags_not_crashes():
     )
     assert not bool(jnp.all(shard_ok))
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def _shard_op(mesh, dnbh_p, op, n_local_blocks, halo_blocks,
+              with_dist=False):
+    """shard_map wrapper running a dense op on a tile-sharded
+    neighborhood with haloed database features."""
+    import dataclasses
+
+    def per_shard(feats, packed, s_blk, count, dist, ok):
+        fw = halo_exchange(feats, halo_blocks * TILE, "points")
+        shard_dnbh = dataclasses.replace(
+            dnbh_p, packed=packed, s_blk=s_blk, count=count, ok=ok,
+            dist=dist, num_query=s_blk.shape[1] * TILE,
+        )
+        local, shard_ok = local_neighborhood(
+            shard_dnbh, "points", halo_blocks, n_local_blocks
+        )
+        return op(fw, local), shard_ok[None]
+
+    dist_spec = P(None, "points", None, None) if with_dist else P()
+    return shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(
+            P(None, "points", None), P(None, "points", None, None),
+            P(None, "points"), P(None, "points"), dist_spec, P(),
+        ),
+        out_specs=(P(None, "points", None), P("points")),
+        check_vma=False,
+    )
+
+
+@pytest.mark.parametrize("dt", [np.float32, "bfloat16"])
+def test_point_sharded_pool_matches_unsharded(dt):
+    """Inter-level max pool: coarse query tiles and fine feature rows
+    shard over the same axis; the fine halo covers the pool windows.
+    bf16 exercises the rank-compacted kernel, f32 the masked-max path."""
+    from sph3d_gcn_tpu.ops.dense import dense_max_pool3d
+
+    shards = 4
+    mesh = _points_mesh(shards)
+    rng = np.random.default_rng(9)
+    b, n, k, c, w = 2, 2048, 8, 64, 1024
+    dtype = jnp.dtype(dt)
+    pts = jnp.array(_sorted_cloud(rng, b, n))
+    coarse = pts[:, ::4]  # sorted uniform subsample, 512 rows
+    # sharded vs unsharded dense use the SAME kernel and rank order, so
+    # ties resolve identically — no tie-free construction needed
+    feats = jnp.array(
+        rng.standard_normal((b, n, c)).astype(np.float32)
+    ).astype(dtype)
+    dnbh = build_dense_graph(
+        pts, coarse, 0.15, k, None, window=w, self_graph=False
+    )
+    assert bool(dnbh.ok)
+    out_ref, _ = dense_max_pool3d(feats, dnbh, with_index=False)
+
+    dnbh_p = pad_count_for_sharding(dnbh, shards)
+    f = _shard_op(
+        mesh, dnbh_p,
+        lambda fw, loc: dense_max_pool3d(fw, loc, with_index=False)[0],
+        n_local_blocks=(n // TILE) // shards,
+        halo_blocks=w // TILE,
+    )
+    got, shard_ok = f(feats, dnbh_p.packed, dnbh_p.s_blk, dnbh_p.count,
+                      dnbh_p.dist, dnbh_p.ok)
+    assert bool(jnp.all(shard_ok))
+    np.testing.assert_array_equal(
+        np.asarray(got, np.float32)[:, : dnbh.num_query],
+        np.asarray(out_ref, np.float32),
+    )
+
+    # gradient parity (first-max routing must survive the halo transpose)
+    def loss_sharded(feats):
+        out, _ = f(feats, dnbh_p.packed, dnbh_p.s_blk, dnbh_p.count,
+                   dnbh_p.dist, dnbh_p.ok)
+        return jnp.sum(jnp.sin(
+            out[:, : dnbh.num_query].astype(jnp.float32)))
+
+    def loss_ref(feats):
+        out, _ = dense_max_pool3d(feats, dnbh, with_index=False)
+        return jnp.sum(jnp.sin(out.astype(jnp.float32)))
+
+    g_s = jax.grad(loss_sharded)(feats)
+    g_r = jax.grad(loss_ref)(feats)
+    np.testing.assert_allclose(
+        np.asarray(g_s, np.float32), np.asarray(g_r, np.float32),
+        rtol=1e-2, atol=1e-3,
+    )
+
+
+def test_point_sharded_unpool_matches_unsharded():
+    """Deconv direction: fine query tiles shard, coarse feature rows
+    shard, the coarse halo covers the unpool windows; distance-
+    proportional weights ride the sharded dist maps."""
+    from sph3d_gcn_tpu.ops.dense import dense_weighted_interpolate
+
+    shards = 4
+    mesh = _points_mesh(shards)
+    rng = np.random.default_rng(10)
+    b, n, k, c, w = 2, 4096, 6, 32, 768
+    # uniform cube (no gaussian tail stragglers): every fine point has a
+    # coarse neighbour within the base radius, windows stay non-degenerate
+    cube = rng.uniform(0.0, 1.0, (b, n, 3)).astype(np.float32)
+    order = np.argsort(cube[..., 0], axis=1)
+    pts = jnp.array(np.take_along_axis(cube, order[..., None], axis=1))
+    coarse = pts[:, ::4]  # 512 rows = 4 blocks, 1 per shard
+    feats = jnp.array(
+        rng.standard_normal((b, coarse.shape[1], c)).astype(np.float32)
+    )
+    dnbh = build_dense_graph(
+        coarse, pts, 0.2, k, None, window=w, self_graph=False,
+        need_dist=True, growth_steps=12,
+    )
+    assert bool(dnbh.ok)
+    ref = dense_weighted_interpolate(feats, dnbh)
+
+    dnbh_p = pad_count_for_sharding(dnbh, shards)
+    f = _shard_op(
+        mesh, dnbh_p, dense_weighted_interpolate,
+        n_local_blocks=(coarse.shape[1] // TILE) // shards,
+        halo_blocks=w // TILE,
+        with_dist=True,
+    )
+    got, shard_ok = f(feats, dnbh_p.packed, dnbh_p.s_blk, dnbh_p.count,
+                      dnbh_p.dist, dnbh_p.ok)
+    assert bool(jnp.all(shard_ok))
+    np.testing.assert_allclose(
+        np.asarray(got)[:, : dnbh.num_query], np.asarray(ref),
+        rtol=1e-5, atol=1e-6,
+    )
+
+    g_s = jax.grad(lambda fe: jnp.sum(jnp.sin(
+        f(fe, dnbh_p.packed, dnbh_p.s_blk, dnbh_p.count, dnbh_p.dist,
+          dnbh_p.ok)[0][:, : dnbh.num_query])))(feats)
+    g_r = jax.grad(lambda fe: jnp.sum(jnp.sin(
+        dense_weighted_interpolate(fe, dnbh))))(feats)
+    np.testing.assert_allclose(
+        np.asarray(g_s), np.asarray(g_r), rtol=1e-4, atol=2e-5
+    )
