@@ -79,6 +79,13 @@ class SPH3DConfig:
     # per graph (DenseNeighborhood.ok, sown as 'dense_ok') — the windows
     # in the shipped configs carry measured margins.
     dense_graph: bool = False
+    # Point-axis (spatial) sharding: the name of a mesh axis the model is
+    # being shard_map'ed over (parallel/spatial.py). Sorting + graph
+    # construction run replicated (coordinates are tiny); the feature
+    # path shards each shardable level's rows with halo exchanges over
+    # ICI and gathers logits at the end, so the model's external contract
+    # is unchanged. Requires dense_graph; segmentation backbones only.
+    point_axis: str | None = None
 
     @property
     def dtype(self):
@@ -134,6 +141,11 @@ class SPH3DConfig:
         if self.dense_graph and (self.windows is None or not self.spatial_sort):
             raise ValueError(
                 "dense_graph requires spatial_sort=True and per-level windows"
+            )
+        if self.point_axis is not None and not self.dense_graph:
+            raise ValueError(
+                "point_axis sharding requires the dense windowed engine "
+                "(dense_graph=True)"
             )
         if self.windows is not None and len(self.windows) != num_levels:
             raise ValueError(

@@ -50,6 +50,10 @@ class SeparableConvBlock(fnn.Module):
     depth_multiplier: tuple[int, ...]
     config: SPH3DConfig
     window: int | None = None
+    # point-axis sharding: set when ``nbh`` arrives tile-localized (see
+    # SeparableConv3d — every conv in the stack halo-exchanges its input)
+    point_axis: str | None = None
+    halo_blocks: int = 0
 
     @fnn.compact
     def __call__(
@@ -73,6 +77,8 @@ class SeparableConvBlock(fnn.Module):
                 with_bias=cfg.with_bias,
                 dtype=cfg.dtype,
                 window=self.window,
+                point_axis=self.point_axis,
+                halo_blocks=self.halo_blocks,
                 name=f"_{i + 1}",
             )(net, nbh, filt_index, train)
         return net

@@ -16,6 +16,7 @@ from __future__ import annotations
 import flax.linen as fnn
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from sph3d_gcn_tpu.configs.base import SPH3DConfig
 from sph3d_gcn_tpu.models.common import (
@@ -60,6 +61,17 @@ def _maybe_unsort(logits: jax.Array, rank):
     return logits if rank is None else permute_points(logits, rank)
 
 
+def _maybe_gather_rows(cfg: SPH3DConfig, logits: jax.Array, num_points: int):
+    """Under point sharding the backbone hands back this shard's rows;
+    gather them so the model's external contract (full (B, N, ncls)
+    logits in input point order) is unchanged."""
+    if cfg.point_axis is not None and logits.shape[1] != num_points:
+        from sph3d_gcn_tpu.parallel.spatial import all_rows
+
+        logits = all_rows(logits, cfg.point_axis)
+    return logits
+
+
 class SegEncoderDecoder(fnn.Module):
     """mlp1 -> encoder pyramid -> decoder with skip concats [-> mlp2].
 
@@ -80,9 +92,35 @@ class SegEncoderDecoder(fnn.Module):
         cfg = self.config
         num_levels = len(cfg.radius)
 
+        # Point-axis sharding (parallel/spatial.py): coordinates / graph
+        # construction stay replicated (they are the cheap, coords-only
+        # part); every shardable level's FEATURE rows live sharded over
+        # ``axis`` with window-halo exchanges, and the caller gathers
+        # logits at the end. ``cur_sh`` tracks whether ``net`` currently
+        # holds this shard's rows or the full (replicated) cloud —
+        # non-shardable coarse levels (few tiles) run replicated.
+        axis = cfg.point_axis
+        if axis is not None:
+            from sph3d_gcn_tpu.ops.dense import TILE
+            from sph3d_gcn_tpu.parallel.spatial import (
+                all_rows,
+                halo_exchange,
+                localize_tiles,
+                shardable_rows,
+                slice_rows_local,
+            )
+
+            shards = lax.axis_size(axis)
+
+        def _sh(nrows: int) -> bool:
+            return axis is not None and shardable_rows(nrows, shards)
+
+        cur_sh = _sh(net.shape[1])
+        if cur_sh:
+            net = slice_rows_local(net, axis)
         net = PointwiseConv3d(
             cfg.mlp, with_bn=cfg.with_bn, with_bias=cfg.with_bias,
-            dtype=cfg.dtype, name="mlp1"
+            dtype=cfg.dtype, point_axis=axis, name="mlp1"
         )(net, train)
 
         sample_key = None
@@ -109,9 +147,20 @@ class SegEncoderDecoder(fnn.Module):
                     kernel=cfg.kernel,
                     window=cfg.enc_window(level),
                 )
+                halo_b = 0
+                if cur_sh:
+                    # intra-level self-graph: one window of halo provably
+                    # covers every tile's slab (windows start at or
+                    # before the tile's own rows)
+                    halo_b = nbh.window // TILE
+                    nbh, _ = localize_tiles(
+                        nbh, axis, halo_b,
+                        (xyz.shape[1] // TILE) // shards,
+                    )
                 dense_ok &= nbh.ok
                 filt_idx = None
             else:
+                halo_b = 0
                 nbh, filt_idx, sample_idx = build_graph(
                     xyz,
                     cfg.radius[level],
@@ -127,6 +176,8 @@ class SegEncoderDecoder(fnn.Module):
                 depth_multiplier=cfg.multiplier[level],
                 config=cfg,
                 window=cfg.enc_window(level),
+                point_axis=axis if cur_sh else None,
+                halo_blocks=halo_b,
                 name=f"conv{level + 1}",
             )(net, nbh, filt_idx, train)
 
@@ -141,10 +192,39 @@ class SegEncoderDecoder(fnn.Module):
                         cfg.nn_uplimit[level],
                         window=cfg.pool_window(level),
                     )
-                    dense_ok &= inter.ok
+                    nxt_sh = _sh(xyz_coarse.shape[1])
+                    if cur_sh and nxt_sh:
+                        # coarse tiles and fine rows both sharded: the
+                        # fine halo covers the pool windows (certified
+                        # through DenseNeighborhood.ok by localize_tiles)
+                        halo_b = inter.window // TILE
+                        inter, _ = localize_tiles(
+                            inter, axis, halo_b,
+                            (xyz.shape[1] // TILE) // shards,
+                        )
+                        dense_ok &= inter.ok
+                        net = pool3d(
+                            halo_exchange(net, halo_b * TILE, axis),
+                            inter, method=cfg.pool_method,
+                        )
+                    elif cur_sh:
+                        # pooling onto a non-shardable coarse level:
+                        # gather the fine rows, run replicated
+                        dense_ok &= inter.ok
+                        net = pool3d(
+                            all_rows(net, axis), inter,
+                            method=cfg.pool_method,
+                        )
+                    elif nxt_sh:
+                        inter, _ = localize_tiles(inter, axis, None)
+                        dense_ok &= inter.ok
+                        net = pool3d(net, inter, method=cfg.pool_method)
+                    else:
+                        dense_ok &= inter.ok
+                        net = pool3d(net, inter, method=cfg.pool_method)
                     xyz = xyz_coarse
                     xyz_layers.append(xyz)
-                    net = pool3d(net, inter, method=cfg.pool_method)
+                    cur_sh = nxt_sh
                 else:
                     if cfg.spatial_sort and sample_idx is not None:
                         # Ascending order keeps the coarse cloud axis-sorted.
@@ -170,6 +250,7 @@ class SegEncoderDecoder(fnn.Module):
         for level in range(num_levels):
             xyz_coarse = xyz_layers[level]
             xyz_fine = xyz_layers[level + 1]
+            fine_sh = _sh(xyz_fine.shape[1])
             # Decoder edges search the SAMPLED cloud of the mirrored
             # encoder level — its proportionally smaller window applies.
             dec_win = cfg.dec_window(num_levels - 1 - level)
@@ -181,9 +262,17 @@ class SegEncoderDecoder(fnn.Module):
                     dec_margin=cfg.dec_margin,
                     growth_steps=cfg.growth_steps,
                 )
-                dense_ok &= intra.ok & inter.ok
+                halo_b = 0
+                if cur_sh:
+                    halo_b = intra.window // TILE
+                    intra, _ = localize_tiles(
+                        intra, axis, halo_b,
+                        (xyz_coarse.shape[1] // TILE) // shards,
+                    )
+                dense_ok &= intra.ok
                 filt_idx = None
             else:
+                halo_b = 0
                 intra, filt_idx, inter = build_graph_deconv(
                     xyz_coarse, xyz_fine, radius_r[level],
                     nn_uplimit_r[level], kernel=cfg.kernel,
@@ -194,23 +283,60 @@ class SegEncoderDecoder(fnn.Module):
                 depth_multiplier=multiplier_r[level],
                 config=cfg,
                 window=dec_win,
+                point_axis=axis if cur_sh else None,
+                halo_blocks=halo_b,
                 name=f"deconv{level + 1}",
             )(net, intra, filt_idx, train)
-            net = unpool3d(
-                net, inter, method=cfg.unpool_method, window=dec_win
-            )
+            if not cfg.dense_graph:
+                net = unpool3d(
+                    net, inter, method=cfg.unpool_method, window=dec_win
+                )
+            elif cur_sh and fine_sh:
+                # fine query tiles and coarse rows both sharded: the
+                # coarse halo covers the unpool windows
+                halo_b = inter.window // TILE
+                inter, _ = localize_tiles(
+                    inter, axis, halo_b,
+                    (xyz_coarse.shape[1] // TILE) // shards,
+                )
+                dense_ok &= inter.ok
+                net = unpool3d(
+                    halo_exchange(net, halo_b * TILE, axis), inter,
+                    method=cfg.unpool_method,
+                )
+            elif fine_sh:
+                # replicated coarse rows feed sharded fine tiles: slice
+                # the query tiles only, windows stay in full coordinates
+                inter, _ = localize_tiles(inter, axis, None)
+                dense_ok &= inter.ok
+                net = unpool3d(net, inter, method=cfg.unpool_method)
+            elif cur_sh:
+                dense_ok &= inter.ok
+                net = unpool3d(
+                    all_rows(net, axis), inter, method=cfg.unpool_method
+                )
+            else:
+                dense_ok &= inter.ok
+                net = unpool3d(net, inter, method=cfg.unpool_method)
             net = jnp.concatenate((net, encoder[level]), axis=2)
+            cur_sh = fine_sh
 
         if cfg.dense_graph:
             # Window-coverage certificate (see SPH3DModelNet): True iff all
-            # dense graphs provably covered their in-range neighbors.
+            # dense graphs provably covered their in-range neighbors. Under
+            # point sharding it also certifies every halo (localize_tiles
+            # folds shard_ok in); shards must agree for the metric.
+            if axis is not None:
+                dense_ok = lax.pmin(
+                    dense_ok.astype(jnp.int32), axis
+                ).astype(bool)
             self.sow("intermediates", "dense_ok", dense_ok)
 
         if self.include_input_skip:
             # mlp2 + concat of the mlp1 features (ref SPH3D_shapenet.py:106-108).
             net = PointwiseConv3d(
                 cfg.mlp, with_bn=cfg.with_bn, with_bias=cfg.with_bias,
-                dtype=cfg.dtype, name="mlp2"
+                dtype=cfg.dtype, point_axis=axis, name="mlp2"
             )(net, train)
             net = jnp.concatenate((net, encoder[-1]), axis=2)
 
@@ -245,6 +371,7 @@ class SPH3DShapeNet(fnn.Module):
             activation=None,
             name="logits",
         )(net, train)
+        net = _maybe_gather_rows(cfg, net, points.shape[1])
         return _maybe_unsort(net, rank)
 
 
@@ -276,6 +403,7 @@ class SPH3DShapeNetOnehot(fnn.Module):
             activation=None,
             name="logits",
         )(net, train)
+        net = _maybe_gather_rows(cfg, net, points.shape[1])
         return _maybe_unsort(net, rank)
 
 
@@ -303,6 +431,7 @@ class SPH3DSceneSeg(fnn.Module):
             activation=None,
             name="logits",
         )(net, train)
+        net = _maybe_gather_rows(cfg, net, points.shape[1])
         return _maybe_unsort(net, rank)
 
 
@@ -329,6 +458,7 @@ class SPH3DRueMonge(fnn.Module):
             activation=None,
             name="logits",
         )(net, train)
+        net = _maybe_gather_rows(cfg, net, points.shape[1])
         return _maybe_unsort(net, rank)
 
 

@@ -18,12 +18,15 @@ Reproduced behavioral details (all load-bearing for checkpoint parity):
 
 from __future__ import annotations
 
+import functools
+
 from collections.abc import Callable
 from typing import Any
 
 import flax.linen as fnn
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from sph3d_gcn_tpu.ops.conv import depthwise_conv3d
 from sph3d_gcn_tpu.ops.dense import (
@@ -56,9 +59,23 @@ class BatchNorm(fnn.Module):
 
     momentum: float = 0.99
     epsilon: float = 1e-3
+    # mesh axis to pmean batch statistics over — set to the point-axis
+    # name under point sharding (parallel/spatial.py) so sharded-row
+    # statistics equal the unsharded ones exactly (equal rows per shard)
+    axis_name: str | None = None
 
     @fnn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        if self.axis_name is not None:
+            # the child is named like flax's auto-scoped BatchNorm so the
+            # parameter/stat tree is identical either way (checkpoints
+            # and the TF1 converter never see the difference)
+            return _SyncBatchNorm(
+                momentum=self.momentum,
+                epsilon=self.epsilon,
+                axis_name=self.axis_name,
+                name="BatchNorm_0",
+            )(x, train)
         return fnn.BatchNorm(
             use_running_average=not train,
             momentum=self.momentum,
@@ -67,6 +84,82 @@ class BatchNorm(fnn.Module):
             dtype=x.dtype,
             param_dtype=jnp.float32,
         )(x)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _pmean_sync(x: jax.Array, axis_name: str) -> jax.Array:
+    """pmean whose TRANSPOSE is pmean (its true linear transpose: the
+    forward averages d shard values into one logical statistic used by
+    all shards, so each shard's input cotangent is the psum of every
+    user's cotangent divided by d). shard_map with check_vma=False does
+    NOT transpose its built-in psum/pmean correctly — flax BatchNorm's
+    internal axis_name sync produced structurally wrong gradients for
+    everything upstream (measured: bn bias grads off by >100x) — so the
+    sync BN below routes its one collective through this custom rule."""
+    return lax.pmean(x, axis_name)
+
+
+def _pmean_sync_fwd(x, axis_name):
+    return lax.pmean(x, axis_name), None
+
+
+def _pmean_sync_bwd(axis_name, _, ct):
+    return (lax.pmean(ct, axis_name),)
+
+
+_pmean_sync.defvjp(_pmean_sync_fwd, _pmean_sync_bwd)
+
+
+class _SyncBatchNorm(fnn.Module):
+    """Cross-shard BatchNorm for point-axis sharding: flax BatchNorm
+    semantics (fast variance, f32 statistics/params, normalization in the
+    activation dtype, running averages ``m*old + (1-m)*batch``) with the
+    shard sync done through :func:`_pmean_sync`. Parameter names (scale,
+    bias) and stat names (mean, var) match flax's exactly."""
+
+    momentum: float
+    epsilon: float
+    axis_name: str
+
+    @fnn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        c = x.shape[-1]
+        scale = self.param(
+            "scale", fnn.initializers.ones_init(), (c,), jnp.float32
+        )
+        bias = self.param(
+            "bias", fnn.initializers.zeros_init(), (c,), jnp.float32
+        )
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        if train:
+            red = tuple(range(x.ndim - 1))
+            xf = x.astype(jnp.float32)
+            # one collective for both moments, as flax does
+            mom = jnp.concatenate(
+                [jnp.mean(xf, red), jnp.mean(xf * xf, red)]
+            )
+            mom = _pmean_sync(mom, self.axis_name)
+            mean, mean2 = mom[:c], mom[c:]
+            var = jnp.maximum(mean2 - mean * mean, 0.0)
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value
+                    + (1.0 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value
+                    + (1.0 - self.momentum) * var
+                )
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        mul = lax.rsqrt(var + self.epsilon) * scale    # f32
+        dt = x.dtype
+        return (x - mean.astype(dt)) * mul.astype(dt) + bias.astype(dt)
 
 
 class SeparableConv3d(fnn.Module):
@@ -89,6 +182,13 @@ class SeparableConv3d(fnn.Module):
     with_bias: bool = False
     dtype: jnp.dtype = jnp.float32
     window: int | None = None
+    # point-axis sharding (parallel/spatial.py): inputs arrive as this
+    # shard's row chunk, ``nbh`` arrives tile-localized with its windows
+    # rebased for a halo of ``halo_blocks`` TILE-blocks each side; the
+    # conv halo-exchanges its own input so stacked convs in a block keep
+    # handing each other local rows. BN statistics pmean over the axis.
+    point_axis: str | None = None
+    halo_blocks: int = 0
 
     @fnn.compact
     def __call__(
@@ -113,6 +213,12 @@ class SeparableConv3d(fnn.Module):
             # (filt_index unused); the pointwise GEMM is folded into the
             # depthwise op so the (B, M, C*r) intermediate and its HBM
             # layout transpose never materialize.
+            if self.point_axis is not None:
+                from sph3d_gcn_tpu.parallel.spatial import halo_exchange
+
+                inputs = halo_exchange(
+                    inputs, self.halo_blocks * 128, self.point_axis
+                )
             out = dense_depthwise_conv3d(
                 inputs, depthwise, nbh, pointwise=kernel
             )
@@ -136,7 +242,7 @@ class SeparableConv3d(fnn.Module):
         if self.activation is not None:
             out = self.activation(out)
         if self.with_bn:
-            out = BatchNorm(name="bn")(out, train)
+            out = BatchNorm(name="bn", axis_name=self.point_axis)(out, train)
         return out
 
 
@@ -148,6 +254,8 @@ class PointwiseConv3d(fnn.Module):
     with_bn: bool = False
     with_bias: bool = False
     dtype: jnp.dtype = jnp.float32
+    # BN-stat pmean axis under point sharding (rows arrive pre-sliced)
+    point_axis: str | None = None
 
     @fnn.compact
     def __call__(self, inputs: jax.Array, train: bool = False) -> jax.Array:
@@ -168,7 +276,7 @@ class PointwiseConv3d(fnn.Module):
         if self.activation is not None:
             out = self.activation(out)
         if self.with_bn:
-            out = BatchNorm(name="bn")(out, train)
+            out = BatchNorm(name="bn", axis_name=self.point_axis)(out, train)
         return out
 
 

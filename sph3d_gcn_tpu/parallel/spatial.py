@@ -28,6 +28,7 @@ intra-level self-graphs is one window each side).
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -40,6 +41,10 @@ __all__ = [
     "halo_reduce",
     "pad_count_for_sharding",
     "local_neighborhood",
+    "localize_tiles",
+    "slice_rows_local",
+    "all_rows",
+    "shardable_rows",
 ]
 
 
@@ -170,3 +175,128 @@ def local_neighborhood(
         dnbh, s_blk=s_local, ok=dnbh.ok & shard_ok
     )
     return local, shard_ok
+
+
+def shardable_rows(num_rows: int, num_shards: int) -> bool:
+    """True when a row axis of ``num_rows`` points splits into equal,
+    TILE-aligned, non-empty per-shard tile chunks. Levels that fail (the
+    coarse tails of the encoder pyramid, e.g. 384 or 128 points on an
+    8-way axis) run replicated — they carry a negligible share of the
+    FLOPs, which concentrate at the fine levels this helper admits."""
+    n_t = num_rows // TILE
+    return (
+        num_rows % TILE == 0
+        and n_t % num_shards == 0
+        and n_t >= num_shards
+    )
+
+
+def slice_rows_local(x: jax.Array, axis_name: str) -> jax.Array:
+    """(B, N, ...) replicated -> this shard's contiguous (B, N/d, ...)
+    row chunk (inside shard_map)."""
+    shards = lax.axis_size(axis_name)
+    n_local = x.shape[1] // shards
+    i = lax.axis_index(axis_name)
+    return lax.dynamic_slice_in_dim(x, i * n_local, n_local, axis=1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def psum_replicated(x: jax.Array, axis_name: str) -> jax.Array:
+    """psum for summing per-shard contributions into a replicated value,
+    with the correct IDENTITY transpose.
+
+    The logical map is y_i = sum_j x_j for every shard i: its transpose
+    is dx_j = sum_i ct_i, and when the downstream treats y as ONE
+    replicated value (out_specs P()), the logical cotangent is a single
+    ct distributed once — each shard's seed must be ct, NOT psum(ct).
+    shard_map with check_vma=False transposes its built-in psum as
+    another psum (measured: loss seeds came out d x too large, corrupting
+    every gradient downstream of a psum'd loss), so replicated-loss
+    reductions must use this op."""
+    return lax.psum(x, axis_name)
+
+
+def _psum_replicated_fwd(x, axis_name):
+    return lax.psum(x, axis_name), None
+
+
+def _psum_replicated_bwd(axis_name, _, ct):
+    return (ct,)
+
+
+psum_replicated.defvjp(_psum_replicated_fwd, _psum_replicated_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def all_rows(x: jax.Array, axis_name: str) -> jax.Array:
+    """(B, N/d, ...) shard -> replicated (B, N, ...) tiled all-gather.
+
+    Carries an explicit VJP because shard_map with ``check_vma=False``
+    transposes ``lax.all_gather`` a factor-of-d too large (measured:
+    grads through a gather-then-replicated-loss came out exactly d x the
+    true gradient). The true transpose: the gathered value is ONE
+    logical array consumed by every shard, so a shard's input-row
+    cotangent is the psum of all shards' cotangents at its rows."""
+    return lax.all_gather(x, axis_name, axis=1, tiled=True)
+
+
+def _all_rows_fwd(x, axis_name):
+    return lax.all_gather(x, axis_name, axis=1, tiled=True), None
+
+
+def _all_rows_bwd(axis_name, _, ct):
+    return (slice_rows_local(lax.psum(ct, axis_name), axis_name),)
+
+
+all_rows.defvjp(_all_rows_fwd, _all_rows_bwd)
+
+
+def localize_tiles(
+    dnbh: DenseNeighborhood,
+    axis_name: str,
+    halo_blocks: int | None,
+    db_blocks_local: int | None = None,
+) -> tuple[DenseNeighborhood, jax.Array]:
+    """Slice this shard's query-tile chunk out of a replicated
+    neighborhood and (when the database rows are sharded too) rebase its
+    windows into halo-local coordinates.
+
+    Called inside ``shard_map``. ``halo_blocks=None`` means the database
+    feature rows stay replicated (no halo exchange, s_blk unchanged) —
+    the query tiles alone shard, e.g. unpooling from a replicated coarse
+    level onto a sharded fine level. Otherwise the consumer feeds the op
+    ``halo_exchange(local_rows, halo_blocks * TILE)`` and
+    ``db_blocks_local`` names the shard's own row extent in TILE blocks
+    (see :func:`local_neighborhood`).
+    """
+    shards = lax.axis_size(axis_name)
+    i = lax.axis_index(axis_name)
+    n_t = dnbh.s_blk.shape[1]
+    if n_t % shards:
+        raise ValueError(
+            f"{n_t} query tiles do not split over {shards} shards"
+        )
+    ntl = n_t // shards
+
+    def sl(a):
+        return lax.dynamic_slice_in_dim(a, i * ntl, ntl, axis=1)
+
+    m_pad = n_t * TILE
+    count = jnp.pad(
+        dnbh.count, ((0, 0), (0, m_pad - dnbh.count.shape[1]))
+    )
+    count = lax.dynamic_slice_in_dim(count, i * (ntl * TILE), ntl * TILE, 1)
+    local = dataclasses.replace(
+        dnbh,
+        packed=sl(dnbh.packed),
+        s_blk=sl(dnbh.s_blk),
+        dist=None if dnbh.dist is None else sl(dnbh.dist),
+        count=count,
+        num_query=ntl * TILE,
+    )
+    if halo_blocks is None:
+        return local, jnp.bool_(True)
+    assert db_blocks_local is not None
+    return local_neighborhood(
+        local, axis_name, halo_blocks, db_blocks_local
+    )

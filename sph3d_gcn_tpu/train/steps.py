@@ -17,7 +17,8 @@ import flax
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec
 
 from sph3d_gcn_tpu.nn.layers import l2_regularization
 from sph3d_gcn_tpu.parallel.mesh import batch_sharding, replicated
@@ -72,6 +73,13 @@ class StepFactory:
     mesh: Mesh | None = None
     model_kwargs_keys: tuple[str, ...] = ()
     item_loss_fn: LossFn | None = None
+    # Point-axis (spatial) sharding: the mesh axis the model shards its
+    # point rows over (cfg.point_axis must name the same axis). Steps are
+    # then shard_map'ed over the mesh with state/batch replicated — the
+    # model manages its own row sharding and halo exchanges internally
+    # (parallel/spatial.py), so sp scales the POINT count per chip where
+    # 'data' parallelism scales the batch.
+    point_axis: str | None = None
 
     def init_state(self, rng, sample_batch) -> TrainState:
         """Initialize params/BN stats/optimizer state from a sample batch
@@ -79,9 +87,18 @@ class StepFactory:
         extra = [sample_batch[k] for k in self.model_kwargs_keys]
         k_params, k_sample = jax.random.split(rng)
         # jit the init: one compile instead of hundreds of eager per-op
-        # dispatches (each ~seconds over the axon relay at 10k points)
+        # dispatches (each ~seconds over the axon relay at 10k points).
+        # Under point sharding, init with an UNSHARDED clone: parameter
+        # and BN-stat shapes are row-count-free, and lax.axis_index is
+        # only bound inside the shard_map'ed steps.
+        init_model = self.model
+        if self.point_axis is not None:
+            cfg = dataclasses.replace(
+                self.model.config, point_axis=None
+            )
+            init_model = self.model.clone(config=cfg)
         variables = jax.jit(
-            self.model.init, static_argnames=("train",)
+            init_model.init, static_argnames=("train",)
         )(
             {"params": k_params, "sample": k_sample},
             sample_batch["points"],
@@ -133,6 +150,19 @@ class StepFactory:
         total = data_loss
         if self.weight_decay is not None:
             total = total + self.weight_decay * l2_regularization(params)
+        if self.point_axis is not None:
+            # Every shard computes the identical replicated loss (logits
+            # are gathered inside the model). psum_replicated(total/d)
+            # leaves the VALUE unchanged and carries the correct identity
+            # transpose, so each shard's backward runs with the true
+            # cotangent (1/d per shard, summing to 1) and the
+            # all-gather/halo/pmean transposes reassemble the unsharded
+            # gradients exactly (parallel/spatial.py for why the built-in
+            # psum cannot be used here).
+            from sph3d_gcn_tpu.parallel.spatial import psum_replicated
+
+            shards = lax.axis_size(self.point_axis)
+            total = psum_replicated(total / shards, self.point_axis)
         return total, (data_loss, logits, new_stats, ok)
 
     def classic_fallback(self) -> "StepFactory":
@@ -161,6 +191,25 @@ class StepFactory:
         )
         return dataclasses.replace(self, model=self.model.clone(config=new_cfg))
 
+    def _sp_shard_map(self, step):
+        """shard_map a step over the mesh for point-axis sharding: state,
+        batch and outputs are replicated (P()); the model shards its own
+        rows internally. check_vma is off because the per-shard program
+        mixes replicated and device-varying values by design; gradient
+        correctness comes from the psum(total/d) seeding in _losses."""
+        if self.mesh is None or self.point_axis not in self.mesh.axis_names:
+            raise ValueError(
+                f"point_axis={self.point_axis!r} needs a mesh with that "
+                f"axis (got {None if self.mesh is None else self.mesh.axis_names})"
+            )
+        return jax.shard_map(
+            step,
+            mesh=self.mesh,
+            in_specs=PartitionSpec(),
+            out_specs=PartitionSpec(),
+            check_vma=False,
+        )
+
     def train_step(self, donate: bool = True):
         """Returns jitted (state, batch, rng) -> (state, metrics).
 
@@ -174,6 +223,16 @@ class StepFactory:
             (total, (data_loss, logits, new_stats, ok)), grads = grad_fn(
                 state.params, state.batch_stats, batch, rng, True
             )
+            if self.point_axis is not None:
+                # Each shard's backward yields TRUE partial grads for its
+                # sharded rows and (1/d)-scaled grads along replicated
+                # segments (the psum_replicated loss seeding) — psum
+                # assembles both into the exact unsharded gradient.
+                # shard_map's own unmapping of replicated-in cotangents
+                # keeps only one shard's, so the sum must happen here.
+                grads = jax.tree.map(
+                    lambda g: lax.psum(g, self.point_axis), grads
+                )
             updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
             new_state = state.replace(
@@ -189,6 +248,10 @@ class StepFactory:
             return new_state, metrics
 
         donate_argnums = (0,) if donate else ()
+        if self.point_axis is not None:
+            return jax.jit(
+                self._sp_shard_map(step), donate_argnums=donate_argnums
+            )
         if self.mesh is None:
             return jax.jit(step, donate_argnums=donate_argnums)
         rep = replicated(self.mesh)
@@ -236,6 +299,8 @@ class StepFactory:
                 state.batch_stats,
             )
 
+        if self.point_axis is not None:
+            return jax.jit(self._sp_shard_map(step))
         if self.mesh is None:
             return jax.jit(step)
         rep = replicated(self.mesh)
@@ -258,6 +323,8 @@ class StepFactory:
                 out["item_loss"] = self.item_loss_fn(logits, batch)
             return out
 
+        if self.point_axis is not None:
+            return jax.jit(self._sp_shard_map(step))
         if self.mesh is None:
             return jax.jit(step)
         rep = replicated(self.mesh)
@@ -297,7 +364,7 @@ def classification_step_factory(
 
 def segmentation_step_factory(
     model, tx, weight_decay=None, mesh=None, inner_masked=False,
-    model_kwargs_keys=(),
+    model_kwargs_keys=(), point_axis=None,
 ) -> StepFactory:
     """StepFactory with the per-point CE loss; ``inner_masked`` selects the
     S3DIS/ScanNet inner-point masked variant (ref SPH3D_s3dis.py:116-133)."""
@@ -328,4 +395,5 @@ def segmentation_step_factory(
         mesh=mesh,
         model_kwargs_keys=model_kwargs_keys,
         item_loss_fn=item_loss_fn,
+        point_axis=point_axis,
     )

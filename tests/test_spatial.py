@@ -376,3 +376,92 @@ def test_point_sharded_unpool_matches_unsharded():
     np.testing.assert_allclose(
         np.asarray(g_s), np.asarray(g_r), rtol=1e-4, atol=2e-5
     )
+
+
+def test_point_sharded_scene_seg_step_matches_unsharded():
+    """Full S3DIS-family train step under 2-way point sharding: the model
+    shards levels 0-1 (8 and 2 tiles), runs the coarse tail replicated,
+    and gathers logits — losses, dense_ok, logits and updated params must
+    match the unsharded dense step (same rngs)."""
+    import dataclasses
+
+    from sph3d_gcn_tpu.configs import s3dis_config
+    from sph3d_gcn_tpu.models import SPH3DSceneSeg
+    from sph3d_gcn_tpu.train import make_optimizer, segmentation_step_factory
+
+    cfg = s3dis_config(num_input=1024, fast=True, dense=True)
+    # the shipped windows/growth are calibrated for the 8192-point
+    # reference pyramid; at 1024 points the fixed radii need more growth
+    # and relatively wider windows to certify (dense_ok)
+    # f32 so sharded-vs-unsharded differences are pure fp noise (bf16
+    # rounding makes near-cancelling BN-bias grad sums sign-unstable,
+    # which Adam amplifies to full +-lr update flips)
+    cfg = dataclasses.replace(
+        cfg, windows=(768, 512, 256, 128), dec_windows=(512,) * 4,
+        growth_steps=12, dec_margin=384, compute_dtype="float32",
+    )
+    cfg_sp = dataclasses.replace(cfg, point_axis="points")
+    mesh = _points_mesh(2)
+    tx = make_optimizer("adam", 1e-3)
+    fac_ref = segmentation_step_factory(
+        SPH3DSceneSeg(cfg), tx, inner_masked=True
+    )
+    fac_sp = segmentation_step_factory(
+        SPH3DSceneSeg(cfg_sp), tx, inner_masked=True,
+        mesh=mesh, point_axis="points",
+    )
+
+    from bench import scene_blocks
+
+    rng = np.random.default_rng(3)
+    b, n = 2, cfg.num_input
+    batch = {
+        "points": scene_blocks(rng, b, n),
+        "label": rng.integers(0, cfg.num_cls, (b, n)).astype(np.int32),
+        "inner_label": rng.integers(0, 2, (b, n)).astype(np.int32),
+    }
+    batch = jax.tree.map(jnp.asarray, batch)
+
+    state_ref = fac_ref.init_state(jax.random.key(0), batch)
+    state_sp = fac_sp.init_state(jax.random.key(0), batch)
+    chex = jax.tree.map(
+        lambda a, b_: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b_)
+        ),
+        state_ref.params, state_sp.params,
+    )
+    del chex
+
+    step_ref = fac_ref.train_step(donate=False)
+    step_sp = fac_sp.train_step(donate=False)
+    for i in range(2):
+        key = jax.random.key(7 + i)
+        state_ref, m_ref = step_ref(state_ref, batch, key)
+        state_sp, m_sp = step_sp(state_sp, batch, key)
+        assert bool(m_ref["dense_ok"]) and bool(m_sp["dense_ok"])
+        np.testing.assert_allclose(
+            float(m_sp["loss"]), float(m_ref["loss"]), rtol=2e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(m_sp["logits"], np.float32),
+            np.asarray(m_ref["logits"], np.float32),
+            rtol=5e-2, atol=5e-2,
+        )
+
+    # updated parameters (grads rode the halo/gather transposes + the
+    # psum(total/d) seeding; bf16 forward, f32 master params)
+    flat_ref = jax.tree_util.tree_leaves_with_path(state_ref.params)
+    flat_sp = {
+        jax.tree_util.keystr(p): v
+        for p, v in jax.tree_util.tree_leaves_with_path(state_sp.params)
+    }
+    for path, leaf in flat_ref:
+        got = np.asarray(flat_sp[jax.tree_util.keystr(path)], np.float32)
+        exp = np.asarray(leaf, np.float32)
+        # atol 2.5e-3 = 2.5x lr: where a grad is a near-zero cancelling
+        # sum (BN biases), fp noise can flip its sign and Adam's
+        # normalized first step moves +-lr either way
+        np.testing.assert_allclose(
+            got, exp, rtol=5e-3, atol=2.5e-3,
+            err_msg=jax.tree_util.keystr(path),
+        )
