@@ -66,10 +66,32 @@ class SPH3DModelNet(fnn.Module):
         # The global viewing point (ref SPH3D_modelnet.py:47).
         query = jnp.mean(xyz, axis=1, keepdims=True)
 
+        # Point-axis sharding (parallel/spatial.py; see SegEncoderDecoder
+        # for the scheme): graphs/coords replicated, shardable levels'
+        # feature rows local with window halos, per-level global maxima
+        # gathered across shards; the FC head runs replicated so the
+        # external contract ((B, num_cls) logits) is unchanged.
+        axis = cfg.point_axis
+        if axis is not None:
+            from jax import lax
+            from sph3d_gcn_tpu.ops.dense import TILE
+            from sph3d_gcn_tpu.parallel.spatial import (
+                all_rows,
+                localize_tiles,
+                shardable_rows,
+                slice_rows_local,
+            )
+
+            shards = lax.axis_size(axis)
+
+        def _sh(nrows: int) -> bool:
+            return axis is not None and shardable_rows(nrows, shards)
+
+        cur_sh = _sh(xyz.shape[1])
         net = PointwiseConv3d(
             cfg.mlp, with_bn=cfg.with_bn, with_bias=cfg.with_bias,
-            dtype=cfg.dtype, name="mlp1"
-        )(xyz, train)
+            dtype=cfg.dtype, point_axis=axis, name="mlp1"
+        )(slice_rows_local(xyz, axis) if cur_sh else xyz, train)
 
         sample_key = None
         if cfg.sample in ("IDS", "random"):
@@ -79,7 +101,8 @@ class SPH3DModelNet(fnn.Module):
         dense_ok = jnp.bool_(True)
         for level in range(len(cfg.radius)):
             if cfg.use_raw:
-                net = jnp.concatenate([net, xyz], axis=-1)
+                xyz_rows = slice_rows_local(xyz, axis) if cur_sh else xyz
+                net = jnp.concatenate([net, xyz_rows], axis=-1)
 
             key = None
             if sample_key is not None:
@@ -95,9 +118,17 @@ class SPH3DModelNet(fnn.Module):
                     kernel=cfg.kernel,
                     window=cfg.enc_window(level),
                 )
+                halo_b = 0
+                if cur_sh:
+                    halo_b = nbh.window // TILE
+                    nbh, _ = localize_tiles(
+                        nbh, axis, halo_b,
+                        (xyz.shape[1] // TILE) // shards,
+                    )
                 dense_ok &= nbh.ok
                 filt_idx = None
             else:
+                halo_b = 0
                 nbh, filt_idx, sample_idx = build_graph(
                     xyz,
                     cfg.radius[level],
@@ -113,6 +144,8 @@ class SPH3DModelNet(fnn.Module):
                 depth_multiplier=cfg.multiplier[level],
                 config=cfg,
                 window=cfg.enc_window(level),
+                point_axis=axis if cur_sh else None,
+                halo_blocks=halo_b,
                 name=f"conv{level + 1}",
             )(net, nbh, filt_idx, train)
 
@@ -126,9 +159,37 @@ class SPH3DModelNet(fnn.Module):
                         cfg.nn_uplimit[level],
                         window=cfg.pool_window(level),
                     )
-                    dense_ok &= inter.ok
+                    nxt_sh = _sh(xyz_coarse.shape[1])
+                    if cur_sh and nxt_sh:
+                        from sph3d_gcn_tpu.parallel.spatial import (
+                            halo_exchange,
+                        )
+
+                        halo_b = inter.window // TILE
+                        inter, _ = localize_tiles(
+                            inter, axis, halo_b,
+                            (xyz.shape[1] // TILE) // shards,
+                        )
+                        dense_ok &= inter.ok
+                        net = pool3d(
+                            halo_exchange(net, halo_b * TILE, axis),
+                            inter, method=cfg.pool_method,
+                        )
+                    elif cur_sh:
+                        dense_ok &= inter.ok
+                        net = pool3d(
+                            all_rows(net, axis), inter,
+                            method=cfg.pool_method,
+                        )
+                    elif nxt_sh:
+                        inter, _ = localize_tiles(inter, axis, None)
+                        dense_ok &= inter.ok
+                        net = pool3d(net, inter, method=cfg.pool_method)
+                    else:
+                        dense_ok &= inter.ok
+                        net = pool3d(net, inter, method=cfg.pool_method)
                     xyz = xyz_coarse
-                    net = pool3d(net, inter, method=cfg.pool_method)
+                    cur_sh = nxt_sh
                 else:
                     if cfg.spatial_sort and sample_idx is not None:
                         # Ascending order keeps the coarse cloud axis-sorted
@@ -142,13 +203,30 @@ class SPH3DModelNet(fnn.Module):
                     )
 
             # Multi-scale global max-pool feature (ref SPH3D_modelnet.py:82-83).
-            global_feat.append(jnp.max(net, axis=1, keepdims=True))
+            local_max = jnp.max(net, axis=1, keepdims=True)
+            if cur_sh:
+                # (B, 1, C) per shard -> (B, d, C) gathered -> global max;
+                # grads route to the owning shard through all_rows' VJP
+                local_max = jnp.max(
+                    all_rows(local_max, axis), axis=1, keepdims=True
+                )
+            global_feat.append(local_max)
+
+        if axis is not None and cur_sh:
+            # the remaining cloud feeds the replicated global conv + head
+            net = all_rows(net, axis)
+            cur_sh = False
 
         if cfg.dense_graph:
             # Window-coverage certificate: True iff every dense graph this
             # forward built provably covered all in-range neighbors (then
             # outputs equal the classic per-edge path exactly). Read via
-            # mutable=["intermediates"]; a no-op otherwise.
+            # mutable=["intermediates"]; a no-op otherwise. Under point
+            # sharding it also certifies the halos; shards must agree.
+            if axis is not None:
+                dense_ok = lax.pmin(
+                    dense_ok.astype(jnp.int32), axis
+                ).astype(bool)
             self.sow("intermediates", "dense_ok", dense_ok)
 
         # Global feature: all remaining points -> centroid query

@@ -341,7 +341,7 @@ class StepFactory:
 
 
 def classification_step_factory(
-    model, tx, weight_decay=None, mesh=None
+    model, tx, weight_decay=None, mesh=None, point_axis=None
 ) -> StepFactory:
     """StepFactory with the mean softmax-CE classification loss
     (ref SPH3D_modelnet.py:112-119)."""
@@ -359,6 +359,7 @@ def classification_step_factory(
         item_loss_fn=lambda logits, batch: classification_item_loss(
             logits, batch["label"]
         ),
+        point_axis=point_axis,
     )
 
 

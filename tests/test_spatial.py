@@ -465,3 +465,71 @@ def test_point_sharded_scene_seg_step_matches_unsharded():
             got, exp, rtol=5e-3, atol=2.5e-3,
             err_msg=jax.tree_util.keystr(path),
         )
+
+
+def test_point_sharded_modelnet_step_matches_unsharded():
+    """ModelNet classifier under 4-way point sharding: sharded encoder
+    levels + gathered multi-scale global maxima + replicated global conv
+    and FC head — loss, logits and updated params match unsharded."""
+    import dataclasses
+
+    from sph3d_gcn_tpu.configs import modelnet_config
+    from sph3d_gcn_tpu.models import SPH3DModelNet
+    from sph3d_gcn_tpu.train import (
+        classification_step_factory,
+        make_optimizer,
+    )
+
+    # at 1024 points the scaled config is single-level: level 0 shards
+    # 4-way, the 256-point pooled cloud and global conv run replicated
+    cfg = modelnet_config(num_input=1024, fast=True, dense=True)
+    cfg = dataclasses.replace(
+        cfg, windows=(768,), compute_dtype="float32",
+    )
+    cfg_sp = dataclasses.replace(cfg, point_axis="points")
+    mesh = _points_mesh(4)
+    tx = make_optimizer("adam", 1e-3)
+    fac_ref = classification_step_factory(
+        SPH3DModelNet(cfg), tx, weight_decay=cfg.weight_decay
+    )
+    fac_sp = classification_step_factory(
+        SPH3DModelNet(cfg_sp), tx, weight_decay=cfg.weight_decay,
+        mesh=mesh, point_axis="points",
+    )
+
+    from bench import surface_clouds
+
+    rng = np.random.default_rng(5)
+    b = 2
+    batch = {
+        "points": surface_clouds(rng, b, cfg.num_input),
+        "label": rng.integers(0, cfg.num_cls, (b,)).astype(np.int32),
+    }
+    batch = jax.tree.map(jnp.asarray, batch)
+
+    state_ref = fac_ref.init_state(jax.random.key(0), batch)
+    state_sp = fac_sp.init_state(jax.random.key(0), batch)
+    step_ref = fac_ref.train_step(donate=False)
+    step_sp = fac_sp.train_step(donate=False)
+    key = jax.random.key(11)
+    state_ref, m_ref = step_ref(state_ref, batch, key)
+    state_sp, m_sp = step_sp(state_sp, batch, key)
+    assert bool(m_ref["dense_ok"]) and bool(m_sp["dense_ok"])
+    np.testing.assert_allclose(
+        float(m_sp["loss"]), float(m_ref["loss"]), rtol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_sp["logits"], np.float32),
+        np.asarray(m_ref["logits"], np.float32),
+        rtol=5e-2, atol=5e-3,
+    )
+    flat_sp = {
+        jax.tree_util.keystr(p): v
+        for p, v in jax.tree_util.tree_leaves_with_path(state_sp.params)
+    }
+    for path, leaf in jax.tree_util.tree_leaves_with_path(state_ref.params):
+        got = np.asarray(flat_sp[jax.tree_util.keystr(path)], np.float32)
+        np.testing.assert_allclose(
+            got, np.asarray(leaf, np.float32), rtol=5e-3, atol=2.5e-3,
+            err_msg=jax.tree_util.keystr(path),
+        )
