@@ -35,6 +35,10 @@ def main():
                              "'dense' = bf16 + dense windowed engine "
                              "(fastest; exactness certified per step)")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--point_devices", type=int, default=None,
+                        help="point-axis (spatial) sharding device count "
+                             "(dense mode; shards each cloud's rows over "
+                             "a ('points',) mesh with ICI halo exchanges)")
     parser.add_argument("--num_devices", type=int, default=None,
                         help="data-parallel device count (default: all "
                              "available when >1); with --platform cpu, "
@@ -55,10 +59,16 @@ def main():
                              "momentum-0.99 eval lag on short runs)")
     args = parser.parse_args()
 
-    from sph3d_gcn_tpu.train.cli import configure_backend, data_mesh
+    from sph3d_gcn_tpu.train.cli import (
+        POINT_AXIS,
+        configure_backend,
+        data_mesh,
+        points_mesh,
+    )
 
     configure_backend(
         args.platform, args.num_devices, multihost=args.multihost,
+        point_devices=args.point_devices,
         coordinator_address=args.coordinator_address,
         process_id=args.process_id, num_processes=args.num_processes,
     )
@@ -89,11 +99,22 @@ def main():
         args.learning_rate, args.batch_size, args.decay_step, args.decay_rate
     )
     tx = make_optimizer(args.optimizer, schedule, momentum=args.momentum)
-    mesh = data_mesh(args.num_devices, args.batch_size)
+    point_axis = None
+    mesh = points_mesh(args.point_devices)
     if mesh is not None:
-        print(f"data-parallel mesh: {mesh.devices.shape[0]} devices")
+        import dataclasses as _dc
+
+        point_axis = POINT_AXIS
+        cfg = _dc.replace(cfg, point_axis=point_axis)
+        model = model.clone(config=cfg)
+        print(f"point-axis mesh: {mesh.devices.shape[0]} devices")
+    else:
+        mesh = data_mesh(args.num_devices, args.batch_size)
+        if mesh is not None:
+            print(f"data-parallel mesh: {mesh.devices.shape[0]} devices")
     factory = classification_step_factory(
-        model, tx, weight_decay=cfg.weight_decay, mesh=mesh
+        model, tx, weight_decay=cfg.weight_decay, mesh=mesh,
+        point_axis=point_axis,
     )
 
     train_files = [

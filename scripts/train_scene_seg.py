@@ -42,6 +42,10 @@ def main():
                              "'fast' = bf16 + locality-windowed edges, "
                              "'dense' = bf16 + dense windowed engine "
                              "(fastest; exactness certified per step)")
+    parser.add_argument("--point_devices", type=int, default=None,
+                        help="point-axis (spatial) sharding device count "
+                             "(dense mode; shards each cloud's rows over "
+                             "a ('points',) mesh with ICI halo exchanges)")
     parser.add_argument("--num_devices", type=int, default=None,
                         help="data-parallel device count (default: all "
                              "available when >1); with --platform cpu, "
@@ -62,10 +66,16 @@ def main():
                              "momentum-0.99 eval lag on short runs)")
     args = parser.parse_args()
 
-    from sph3d_gcn_tpu.train.cli import configure_backend, data_mesh
+    from sph3d_gcn_tpu.train.cli import (
+        POINT_AXIS,
+        configure_backend,
+        data_mesh,
+        points_mesh,
+    )
 
     configure_backend(
         args.platform, args.num_devices, multihost=args.multihost,
+        point_devices=args.point_devices,
         coordinator_address=args.coordinator_address,
         process_id=args.process_id, num_processes=args.num_processes,
     )
@@ -129,12 +139,24 @@ def main():
         args.optimizer, schedule, momentum=args.momentum,
         adam_epsilon=args.adam_eps,
     )
-    mesh = data_mesh(args.num_devices, args.batch_size)
+    point_axis = None
+    mesh = points_mesh(args.point_devices)
     if mesh is not None:
-        print(f"data-parallel mesh: {mesh.devices.shape[0]} devices")
+        # point-axis sharding: the model shards rows over the mesh
+        # (requires the dense engine; see parallel/spatial.py)
+        import dataclasses as _dc
+
+        point_axis = POINT_AXIS
+        cfg = _dc.replace(cfg, point_axis=point_axis)
+        model = model.clone(config=cfg)
+        print(f"point-axis mesh: {mesh.devices.shape[0]} devices")
+    else:
+        mesh = data_mesh(args.num_devices, args.batch_size)
+        if mesh is not None:
+            print(f"data-parallel mesh: {mesh.devices.shape[0]} devices")
     factory = segmentation_step_factory(
         model, tx, weight_decay=cfg.weight_decay, inner_masked=inner_masked,
-        mesh=mesh,
+        mesh=mesh, point_axis=point_axis,
     )
 
     train_files = [line.rstrip() for line in open(train_list)]

@@ -15,6 +15,7 @@ def configure_backend(
     platform: str | None,
     num_devices: int | None,
     multihost: bool = False,
+    point_devices: int | None = None,
     coordinator_address: str | None = None,
     process_id: int | None = None,
     num_processes: int | None = None,
@@ -35,10 +36,11 @@ def configure_backend(
     """
     import jax
 
+    pool = max(num_devices or 1, point_devices or 1)
     if platform:
         jax.config.update("jax_platforms", platform)
-        if platform == "cpu" and num_devices and num_devices > 1:
-            jax.config.update("jax_num_cpu_devices", num_devices)
+        if platform == "cpu" and pool > 1:
+            jax.config.update("jax_num_cpu_devices", pool)
     if multihost:
         kwargs = {}
         if coordinator_address is not None:
@@ -60,6 +62,12 @@ def add_backend_args(parser) -> None:
     parser.add_argument(
         "--num_devices", type=int, default=None,
         help="data-parallel device count (default: all local devices)",
+    )
+    parser.add_argument(
+        "--point_devices", type=int, default=None,
+        help="point-axis (spatial) sharding device count: the model "
+             "shards each cloud's rows over a ('points',) mesh with "
+             "ICI halo exchanges (dense mode only; parallel/spatial.py)",
     )
     parser.add_argument(
         "--multihost", action="store_true",
@@ -93,3 +101,28 @@ def data_mesh(num_devices: int | None, batch_size: int):
             f"batch_size {batch_size} does not split over {n} devices"
         )
     return make_mesh(jax.devices()[:n])
+
+
+POINT_AXIS = "points"
+
+
+def points_mesh(point_devices: int | None):
+    """Build the ('points',) mesh for point-axis sharding, or None.
+
+    Mutually exclusive with the data-parallel mesh for now: sp scales
+    the POINT count per chip, dp scales the batch; composing them on a
+    2D mesh is future work.
+    """
+    import jax
+    import numpy as np
+
+    from jax.sharding import Mesh
+
+    if not point_devices or point_devices <= 1:
+        return None
+    devices = jax.devices()
+    if len(devices) < point_devices:
+        raise ValueError(
+            f"--point_devices {point_devices} > {len(devices)} devices"
+        )
+    return Mesh(np.array(devices[:point_devices]), (POINT_AXIS,))

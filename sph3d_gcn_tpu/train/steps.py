@@ -185,11 +185,20 @@ class StepFactory:
         new_cfg = _dc.replace(
             cfg,
             dense_graph=False,
+            # the classic engine has no point-axis sharding; the recovery
+            # path runs unsharded (it exists for occasional flagged
+            # batches, not steady-state throughput)
+            point_axis=None,
             # the classic engine needs conv-block remat to fit full-size
             # seg models in HBM (configs/__init__.py)
             remat_blocks=cfg.num_input >= 4096,
         )
-        return dataclasses.replace(self, model=self.model.clone(config=new_cfg))
+        return dataclasses.replace(
+            self,
+            model=self.model.clone(config=new_cfg),
+            mesh=None if self.point_axis is not None else self.mesh,
+            point_axis=None,
+        )
 
     def _sp_shard_map(self, step):
         """shard_map a step over the mesh for point-axis sharding: state,

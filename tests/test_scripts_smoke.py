@@ -189,6 +189,27 @@ def test_train_modelnet_data_parallel_cli(tmp_path):
     assert os.path.exists(os.path.join(log_dir, "log_train.txt"))
 
 
+@pytest.mark.slow
+def test_train_modelnet_point_sharded_cli(tmp_path):
+    """--point_devices wires point-axis (spatial) sharding through the
+    CLI: the model shards each cloud's rows over a ('points',) mesh with
+    halo exchanges (dense mode only; parallel/spatial.py)."""
+    _write_modelnet(tmp_path)
+    log_dir = str(tmp_path / "log_sp")
+    out = _run(
+        "train_modelnet.py",
+        "--data_dir", str(tmp_path),
+        "--log_dir", log_dir,
+        "--max_epoch", "1",
+        "--batch_size", "2",
+        "--num_input", "512",
+        "--mode", "dense",
+        "--point_devices", "2",
+    )
+    assert "point-axis mesh: 2 devices" in out
+    assert os.path.exists(os.path.join(log_dir, "log_train.txt"))
+
+
 def test_multihost_init_single_process():
     """--multihost calls jax.distributed.initialize before mesh
     construction; a 1-process group on localhost must come up cleanly
