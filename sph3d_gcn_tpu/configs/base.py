@@ -86,6 +86,13 @@ class SPH3DConfig:
     # ICI and gathers logits at the end, so the model's external contract
     # is unchanged. Requires dense_graph; segmentation backbones only.
     point_axis: str | None = None
+    # Batch ('data') mesh axis name when the step is shard_map'ed over a
+    # composed ('data', 'points') mesh: the models need it only to sync
+    # BatchNorm statistics across batch shards (row logic is untouched —
+    # each shard simply sees fewer batch items). Set together with
+    # point_axis by the step factories; GSPMD data parallelism (mesh=
+    # without point_axis) does NOT use this.
+    data_axis: str | None = None
 
     @property
     def dtype(self):

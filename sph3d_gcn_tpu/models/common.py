@@ -54,6 +54,7 @@ class SeparableConvBlock(fnn.Module):
     # SeparableConv3d — every conv in the stack halo-exchanges its input)
     point_axis: str | None = None
     halo_blocks: int = 0
+    data_axis: str | None = None
 
     @fnn.compact
     def __call__(
@@ -79,6 +80,7 @@ class SeparableConvBlock(fnn.Module):
                 window=self.window,
                 point_axis=self.point_axis,
                 halo_blocks=self.halo_blocks,
+                data_axis=self.data_axis,
                 name=f"_{i + 1}",
             )(net, nbh, filt_index, train)
         return net

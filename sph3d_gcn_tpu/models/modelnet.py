@@ -90,7 +90,8 @@ class SPH3DModelNet(fnn.Module):
         cur_sh = _sh(xyz.shape[1])
         net = PointwiseConv3d(
             cfg.mlp, with_bn=cfg.with_bn, with_bias=cfg.with_bias,
-            dtype=cfg.dtype, point_axis=axis, name="mlp1"
+            dtype=cfg.dtype, point_axis=axis, data_axis=cfg.data_axis,
+            name="mlp1"
         )(slice_rows_local(xyz, axis) if cur_sh else xyz, train)
 
         sample_key = None
@@ -146,6 +147,7 @@ class SPH3DModelNet(fnn.Module):
                 window=cfg.enc_window(level),
                 point_axis=axis if cur_sh else None,
                 halo_blocks=halo_b,
+                data_axis=cfg.data_axis,
                 name=f"conv{level + 1}",
             )(net, nbh, filt_idx, train)
 
@@ -240,6 +242,7 @@ class SPH3DModelNet(fnn.Module):
             with_bn=cfg.with_bn,
             with_bias=cfg.with_bias,
             dtype=cfg.dtype,
+            data_axis=cfg.data_axis,
             name="global_conv",
         )(net, gnbh, gfilt, train)
         global_feat.append(net)
@@ -248,12 +251,12 @@ class SPH3DModelNet(fnn.Module):
         net = net.reshape(net.shape[0], -1)
         net = FullyConnected(
             512, with_bn=cfg.with_bn, with_bias=cfg.with_bias, dtype=cfg.dtype,
-            name="fc1"
+            data_axis=cfg.data_axis, name="fc1"
         )(net, train)
         net = fnn.Dropout(0.5, deterministic=not train, name="fc1_dp")(net)
         net = FullyConnected(
             256, with_bn=cfg.with_bn, with_bias=cfg.with_bias, dtype=cfg.dtype,
-            name="fc2"
+            data_axis=cfg.data_axis, name="fc2"
         )(net, train)
         net = fnn.Dropout(0.5, deterministic=not train, name="fc2_dp")(net)
         net = FullyConnected(

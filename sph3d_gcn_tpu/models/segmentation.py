@@ -120,7 +120,8 @@ class SegEncoderDecoder(fnn.Module):
             net = slice_rows_local(net, axis)
         net = PointwiseConv3d(
             cfg.mlp, with_bn=cfg.with_bn, with_bias=cfg.with_bias,
-            dtype=cfg.dtype, point_axis=axis, name="mlp1"
+            dtype=cfg.dtype, point_axis=axis, data_axis=cfg.data_axis,
+            name="mlp1"
         )(net, train)
 
         sample_key = None
@@ -178,6 +179,7 @@ class SegEncoderDecoder(fnn.Module):
                 window=cfg.enc_window(level),
                 point_axis=axis if cur_sh else None,
                 halo_blocks=halo_b,
+                data_axis=cfg.data_axis,
                 name=f"conv{level + 1}",
             )(net, nbh, filt_idx, train)
 
@@ -285,6 +287,7 @@ class SegEncoderDecoder(fnn.Module):
                 window=dec_win,
                 point_axis=axis if cur_sh else None,
                 halo_blocks=halo_b,
+                data_axis=cfg.data_axis,
                 name=f"deconv{level + 1}",
             )(net, intra, filt_idx, train)
             if not cfg.dense_graph:
@@ -336,7 +339,8 @@ class SegEncoderDecoder(fnn.Module):
             # mlp2 + concat of the mlp1 features (ref SPH3D_shapenet.py:106-108).
             net = PointwiseConv3d(
                 cfg.mlp, with_bn=cfg.with_bn, with_bias=cfg.with_bias,
-                dtype=cfg.dtype, point_axis=axis, name="mlp2"
+                dtype=cfg.dtype, point_axis=axis, data_axis=cfg.data_axis,
+                name="mlp2"
             )(net, train)
             net = jnp.concatenate((net, encoder[-1]), axis=2)
 

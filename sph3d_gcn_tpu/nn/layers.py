@@ -59,10 +59,10 @@ class BatchNorm(fnn.Module):
 
     momentum: float = 0.99
     epsilon: float = 1e-3
-    # mesh axis to pmean batch statistics over — set to the point-axis
-    # name under point sharding (parallel/spatial.py) so sharded-row
-    # statistics equal the unsharded ones exactly (equal rows per shard)
-    axis_name: str | None = None
+    # mesh axes to pmean batch statistics over — the point axis under
+    # point sharding and/or the data axis under shard_map'ed batch
+    # sharding (equal rows/items per shard make the pmean exact)
+    axis_name: str | tuple[str, ...] | None = None
 
     @fnn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -119,7 +119,7 @@ class _SyncBatchNorm(fnn.Module):
 
     momentum: float
     epsilon: float
-    axis_name: str
+    axis_name: str | tuple[str, ...]
 
     @fnn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -189,6 +189,9 @@ class SeparableConv3d(fnn.Module):
     # handing each other local rows. BN statistics pmean over the axis.
     point_axis: str | None = None
     halo_blocks: int = 0
+    # batch shard axis on a composed ('data', 'points') mesh — BN stats
+    # sync over it (no row logic attached)
+    data_axis: str | None = None
 
     @fnn.compact
     def __call__(
@@ -242,7 +245,9 @@ class SeparableConv3d(fnn.Module):
         if self.activation is not None:
             out = self.activation(out)
         if self.with_bn:
-            out = BatchNorm(name="bn", axis_name=self.point_axis)(out, train)
+            out = BatchNorm(
+                name="bn", axis_name=_bn_axes(self.point_axis, self.data_axis)
+            )(out, train)
         return out
 
 
@@ -254,8 +259,10 @@ class PointwiseConv3d(fnn.Module):
     with_bn: bool = False
     with_bias: bool = False
     dtype: jnp.dtype = jnp.float32
-    # BN-stat pmean axis under point sharding (rows arrive pre-sliced)
+    # BN-stat pmean axes under point/batch sharding (rows/items arrive
+    # pre-sliced)
     point_axis: str | None = None
+    data_axis: str | None = None
 
     @fnn.compact
     def __call__(self, inputs: jax.Array, train: bool = False) -> jax.Array:
@@ -276,8 +283,18 @@ class PointwiseConv3d(fnn.Module):
         if self.activation is not None:
             out = self.activation(out)
         if self.with_bn:
-            out = BatchNorm(name="bn", axis_name=self.point_axis)(out, train)
+            out = BatchNorm(
+                name="bn", axis_name=_bn_axes(self.point_axis, self.data_axis)
+            )(out, train)
         return out
+
+
+def _bn_axes(*axes: str | None) -> str | tuple[str, ...] | None:
+    """Collapse the active shard axes into BatchNorm's axis_name."""
+    present = tuple(a for a in axes if a is not None)
+    if not present:
+        return None
+    return present[0] if len(present) == 1 else present
 
 
 class FullyConnected(fnn.Module):
@@ -288,6 +305,8 @@ class FullyConnected(fnn.Module):
     with_bn: bool = False
     with_bias: bool = False
     dtype: jnp.dtype = jnp.float32
+    point_axis: str | None = None
+    data_axis: str | None = None
 
     @fnn.compact
     def __call__(self, inputs: jax.Array, train: bool = False) -> jax.Array:
@@ -303,7 +322,9 @@ class FullyConnected(fnn.Module):
         if self.activation is not None:
             out = self.activation(out)
         if self.with_bn:
-            out = BatchNorm(name="bn")(out, train)
+            out = BatchNorm(
+                name="bn", axis_name=_bn_axes(self.point_axis, self.data_axis)
+            )(out, train)
         return out
 
 

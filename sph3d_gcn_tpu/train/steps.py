@@ -80,6 +80,14 @@ class StepFactory:
     # (parallel/spatial.py), so sp scales the POINT count per chip where
     # 'data' parallelism scales the batch.
     point_axis: str | None = None
+    # Composed dp x sp: a second mesh axis the BATCH shards over inside
+    # the same shard_map (cfg.data_axis must match so BN stats sync over
+    # it). loss_reduction names how loss_fn reduces over batch items —
+    # 'mean' (classification, plain seg) or 'sum' (the reference's
+    # inner-masked S3DIS loss) — so the cross-shard reassembly of the
+    # global loss is exact.
+    data_axis: str | None = None
+    loss_reduction: str = "mean"
 
     def init_state(self, rng, sample_batch) -> TrainState:
         """Initialize params/BN stats/optimizer state from a sample batch
@@ -94,7 +102,7 @@ class StepFactory:
         init_model = self.model
         if self.point_axis is not None:
             cfg = dataclasses.replace(
-                self.model.config, point_axis=None
+                self.model.config, point_axis=None, data_axis=None
             )
             init_model = self.model.clone(config=cfg)
         variables = jax.jit(
@@ -117,6 +125,11 @@ class StepFactory:
         # (ref tf_sample.py:27-49 are plain graph ops, live in both modes);
         # supplying an extra stream is harmless for FPS configs.
         k_drop, k_sample = jax.random.split(rng)
+        if self.point_axis is not None and self.data_axis is not None:
+            # each batch shard draws distinct dropout/sampling streams
+            i = lax.axis_index(self.data_axis)
+            k_drop = jax.random.fold_in(k_drop, i)
+            k_sample = jax.random.fold_in(k_sample, i)
         rngs = (
             {"dropout": k_drop, "sample": k_sample}
             if train
@@ -151,18 +164,38 @@ class StepFactory:
         if self.weight_decay is not None:
             total = total + self.weight_decay * l2_regularization(params)
         if self.point_axis is not None:
-            # Every shard computes the identical replicated loss (logits
-            # are gathered inside the model). psum_replicated(total/d)
-            # leaves the VALUE unchanged and carries the correct identity
-            # transpose, so each shard's backward runs with the true
-            # cotangent (1/d per shard, summing to 1) and the
-            # all-gather/halo/pmean transposes reassemble the unsharded
-            # gradients exactly (parallel/spatial.py for why the built-in
-            # psum cannot be used here).
+            # Reassemble the global loss from per-shard values with
+            # psum_replicated (identity transpose — parallel/spatial.py
+            # for why the built-in psum cannot be used on a grad path).
+            # Scaling: every points-shard computes the same local loss
+            # (logits gather inside the model), so a psum over the point
+            # axis needs /d_p; a 'mean'-reduced loss over a data-sharded
+            # batch needs the /d_d of the global mean, a 'sum'-reduced
+            # one sums across batch shards as-is. The weight-decay term
+            # is replicated on every shard, so it always carries the full
+            # /(d_d * d_p). The VALUE equals the unsharded loss; the
+            # backward seeds every shard with its true cotangent.
             from sph3d_gcn_tpu.parallel.spatial import psum_replicated
 
-            shards = lax.axis_size(self.point_axis)
-            total = psum_replicated(total / shards, self.point_axis)
+            axes = tuple(
+                a for a in (self.data_axis, self.point_axis)
+                if a is not None
+            )
+            denom = 1
+            for a in axes:
+                denom *= lax.axis_size(a)
+            if self.loss_reduction == "mean" or self.data_axis is None:
+                scale = 1.0 / denom
+            else:  # 'sum' over a data-sharded batch
+                scale = 1.0 / lax.axis_size(self.point_axis)
+            wd_part = total - data_loss
+            total = psum_replicated(
+                data_loss * scale + wd_part / denom, axes
+            )
+            if self.data_axis is not None:
+                # report the GLOBAL data loss (the local one differs per
+                # batch shard); wd_part is replicated so this is exact
+                data_loss = total - wd_part
         return total, (data_loss, logits, new_stats, ok)
 
     def classic_fallback(self) -> "StepFactory":
@@ -189,6 +222,7 @@ class StepFactory:
             # path runs unsharded (it exists for occasional flagged
             # batches, not steady-state throughput)
             point_axis=None,
+            data_axis=None,
             # the classic engine needs conv-block remat to fit full-size
             # seg models in HBM (configs/__init__.py)
             remat_blocks=cfg.num_input >= 4096,
@@ -198,24 +232,39 @@ class StepFactory:
             model=self.model.clone(config=new_cfg),
             mesh=None if self.point_axis is not None else self.mesh,
             point_axis=None,
+            data_axis=None,
         )
 
-    def _sp_shard_map(self, step):
-        """shard_map a step over the mesh for point-axis sharding: state,
-        batch and outputs are replicated (P()); the model shards its own
-        rows internally. check_vma is off because the per-shard program
-        mixes replicated and device-varying values by design; gradient
-        correctness comes from the psum(total/d) seeding in _losses."""
+    def _sp_shard_map(self, step, in_specs=None, out_specs=None):
+        """shard_map a step over the mesh for point-axis sharding: state
+        and rng replicated, the batch sharded over data_axis when set
+        (else replicated); the model shards its own rows internally.
+        check_vma is off because the per-shard program mixes replicated
+        and device-varying values by design; gradient correctness comes
+        from the explicit transposes (psum_replicated seeding in _losses,
+        all_rows/pmean custom VJPs, the grads psum in train_step)."""
         if self.mesh is None or self.point_axis not in self.mesh.axis_names:
             raise ValueError(
                 f"point_axis={self.point_axis!r} needs a mesh with that "
                 f"axis (got {None if self.mesh is None else self.mesh.axis_names})"
             )
+        if self.data_axis is not None:
+            if self.data_axis not in self.mesh.axis_names:
+                raise ValueError(
+                    f"data_axis={self.data_axis!r} not in mesh axes "
+                    f"{self.mesh.axis_names}"
+                )
+            batch_spec = PartitionSpec(self.data_axis)
+        else:
+            batch_spec = PartitionSpec()
         return jax.shard_map(
             step,
             mesh=self.mesh,
-            in_specs=PartitionSpec(),
-            out_specs=PartitionSpec(),
+            in_specs=in_specs if in_specs is not None else (
+                PartitionSpec(), batch_spec, PartitionSpec()
+            ),
+            out_specs=out_specs if out_specs is not None
+            else PartitionSpec(),
             check_vma=False,
         )
 
@@ -234,14 +283,17 @@ class StepFactory:
             )
             if self.point_axis is not None:
                 # Each shard's backward yields TRUE partial grads for its
-                # sharded rows and (1/d)-scaled grads along replicated
-                # segments (the psum_replicated loss seeding) — psum
-                # assembles both into the exact unsharded gradient.
-                # shard_map's own unmapping of replicated-in cotangents
-                # keeps only one shard's, so the sum must happen here.
-                grads = jax.tree.map(
-                    lambda g: lax.psum(g, self.point_axis), grads
+                # sharded rows/items and correctly-scaled grads along
+                # replicated segments (the psum_replicated loss seeding)
+                # — psum over every shard axis assembles the exact
+                # unsharded gradient. shard_map's own unmapping of
+                # replicated-in cotangents keeps only one shard's, so the
+                # sum must happen here.
+                axes = tuple(
+                    a for a in (self.data_axis, self.point_axis)
+                    if a is not None
                 )
+                grads = jax.tree.map(lambda g: lax.psum(g, axes), grads)
             updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
             new_state = state.replace(
@@ -258,8 +310,18 @@ class StepFactory:
 
         donate_argnums = (0,) if donate else ()
         if self.point_axis is not None:
+            from jax.sharding import PartitionSpec as P
+
+            batch_spec = (
+                P(self.data_axis) if self.data_axis is not None else P()
+            )
+            out_specs = (P(), {
+                "loss": P(), "data_loss": P(), "logits": batch_spec,
+                "dense_ok": P(),
+            })
             return jax.jit(
-                self._sp_shard_map(step), donate_argnums=donate_argnums
+                self._sp_shard_map(step, out_specs=out_specs),
+                donate_argnums=donate_argnums,
             )
         if self.mesh is None:
             return jax.jit(step, donate_argnums=donate_argnums)
@@ -333,7 +395,16 @@ class StepFactory:
             return out
 
         if self.point_axis is not None:
-            return jax.jit(self._sp_shard_map(step))
+            from jax.sharding import PartitionSpec as P
+
+            batch_spec = (
+                P(self.data_axis) if self.data_axis is not None else P()
+            )
+            out_specs = {"loss": P(), "data_loss": P(),
+                         "logits": batch_spec, "dense_ok": P()}
+            if self.item_loss_fn is not None:
+                out_specs["item_loss"] = batch_spec
+            return jax.jit(self._sp_shard_map(step, out_specs=out_specs))
         if self.mesh is None:
             return jax.jit(step)
         rep = replicated(self.mesh)
@@ -350,7 +421,8 @@ class StepFactory:
 
 
 def classification_step_factory(
-    model, tx, weight_decay=None, mesh=None, point_axis=None
+    model, tx, weight_decay=None, mesh=None, point_axis=None,
+    data_axis=None,
 ) -> StepFactory:
     """StepFactory with the mean softmax-CE classification loss
     (ref SPH3D_modelnet.py:112-119)."""
@@ -369,12 +441,14 @@ def classification_step_factory(
             logits, batch["label"]
         ),
         point_axis=point_axis,
+        data_axis=data_axis,
+        loss_reduction="mean",
     )
 
 
 def segmentation_step_factory(
     model, tx, weight_decay=None, mesh=None, inner_masked=False,
-    model_kwargs_keys=(), point_axis=None,
+    model_kwargs_keys=(), point_axis=None, data_axis=None,
 ) -> StepFactory:
     """StepFactory with the per-point CE loss; ``inner_masked`` selects the
     S3DIS/ScanNet inner-point masked variant (ref SPH3D_s3dis.py:116-133)."""
@@ -406,4 +480,6 @@ def segmentation_step_factory(
         model_kwargs_keys=model_kwargs_keys,
         item_loss_fn=item_loss_fn,
         point_axis=point_axis,
+        data_axis=data_axis,
+        loss_reduction="sum" if inner_masked else "mean",
     )

@@ -533,3 +533,87 @@ def test_point_sharded_modelnet_step_matches_unsharded():
             got, np.asarray(leaf, np.float32), rtol=5e-3, atol=2.5e-3,
             err_msg=jax.tree_util.keystr(path),
         )
+
+
+def test_composed_dp_sp_scene_seg_step_matches_unsharded():
+    """2x2 ('data', 'points') mesh: the batch shards over 'data' and each
+    cloud's rows over 'points' inside one shard_map'ed step. BN stats
+    sync over both axes and the inner-masked (SUM-reduced) loss
+    reassembles exactly — loss/logits/updated params match unsharded."""
+    import dataclasses
+
+    from jax.sharding import Mesh
+
+    from bench import scene_blocks
+    from sph3d_gcn_tpu.configs import s3dis_config
+    from sph3d_gcn_tpu.models import SPH3DSceneSeg
+    from sph3d_gcn_tpu.train import make_optimizer, segmentation_step_factory
+
+    cfg = s3dis_config(num_input=1024, fast=True, dense=True)
+    cfg = dataclasses.replace(
+        cfg, windows=(768, 512, 256, 128), dec_windows=(512,) * 4,
+        growth_steps=12, dec_margin=384, compute_dtype="float32",
+    )
+    cfg_sp = dataclasses.replace(
+        cfg, point_axis="points", data_axis="data"
+    )
+    mesh = Mesh(
+        np.array(jax.devices()[:4]).reshape(2, 2), ("data", "points")
+    )
+    tx = make_optimizer("adam", 1e-3)
+    fac_ref = segmentation_step_factory(
+        SPH3DSceneSeg(cfg), tx, inner_masked=True
+    )
+    fac_sp = segmentation_step_factory(
+        SPH3DSceneSeg(cfg_sp), tx, inner_masked=True,
+        mesh=mesh, point_axis="points", data_axis="data",
+    )
+
+    rng = np.random.default_rng(13)
+    b, n = 4, cfg.num_input
+    batch = {
+        "points": scene_blocks(rng, b, n),
+        "label": rng.integers(0, cfg.num_cls, (b, n)).astype(np.int32),
+        "inner_label": rng.integers(0, 2, (b, n)).astype(np.int32),
+    }
+    batch = jax.tree.map(jnp.asarray, batch)
+
+    state_ref = fac_ref.init_state(jax.random.key(0), batch)
+    state_sp = fac_sp.init_state(jax.random.key(0), batch)
+    step_ref = fac_ref.train_step(donate=False)
+    step_sp = fac_sp.train_step(donate=False)
+    key = jax.random.key(17)
+    state_ref, m_ref = step_ref(state_ref, batch, key)
+    state_sp, m_sp = step_sp(state_sp, batch, key)
+    assert bool(m_ref["dense_ok"]) and bool(m_sp["dense_ok"])
+    np.testing.assert_allclose(
+        float(m_sp["loss"]), float(m_ref["loss"]), rtol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_sp["logits"], np.float32),
+        np.asarray(m_ref["logits"], np.float32),
+        rtol=5e-2, atol=5e-2,
+    )
+    flat_sp = {
+        jax.tree_util.keystr(p): v
+        for p, v in jax.tree_util.tree_leaves_with_path(state_sp.params)
+    }
+    for path, leaf in jax.tree_util.tree_leaves_with_path(state_ref.params):
+        got = np.asarray(flat_sp[jax.tree_util.keystr(path)], np.float32)
+        np.testing.assert_allclose(
+            got, np.asarray(leaf, np.float32), rtol=5e-3, atol=2.5e-3,
+            err_msg=jax.tree_util.keystr(path),
+        )
+    # BN running stats must also sync to the global batch statistics
+    flat_sp_s = {
+        jax.tree_util.keystr(p): v
+        for p, v in jax.tree_util.tree_leaves_with_path(
+            state_sp.batch_stats)
+    }
+    for path, leaf in jax.tree_util.tree_leaves_with_path(
+            state_ref.batch_stats):
+        got = np.asarray(flat_sp_s[jax.tree_util.keystr(path)], np.float32)
+        np.testing.assert_allclose(
+            got, np.asarray(leaf, np.float32), rtol=1e-4, atol=1e-5,
+            err_msg=jax.tree_util.keystr(path),
+        )
