@@ -1,0 +1,128 @@
+"""A/B the direct in-kernel window DMA path on the real TPU chip.
+
+``ops/dense.py::_DIRECT_WIN_DMA`` replaces the materialized (g, W, C)
+HBM feature windows with per-tile slab DMAs from a TILE-row-blocked
+feature array. Interpret-mode parity is covered by
+tests/test_dense.py::test_dense_conv_pool_both_window_paths; this tool
+validates the Mosaic lowering + numerics on REAL hardware and times the
+two headline benches under each setting.
+
+Usage (one TPU process at a time — run modes sequentially):
+    python scripts/dma_ab.py kernels      # compile + on-chip parity
+    python scripts/dma_ab.py modelnet 0   # bench with flag off
+    python scripts/dma_ab.py modelnet 1   # bench with flag on
+    python scripts/dma_ab.py s3dis 0|1
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def _kernels() -> None:
+    """Compile the three Pallas kernels (transposed conv C<=128,
+    row-major conv C>128, rank pool) with the DMA path on the real chip
+    and assert value+grad parity against the materialized-window path."""
+    import jax
+    import jax.numpy as jnp
+
+    import sph3d_gcn_tpu.ops.dense as dense
+
+    rng = np.random.default_rng(17)
+    b, n, k = 2, 1000, 16
+    kernel = (8, 2, 3)
+    pts = rng.standard_normal((b, n, 3)).astype(np.float32)
+    pts /= np.linalg.norm(pts, axis=-1, keepdims=True)
+    order = np.argsort(pts[..., 0], axis=-1)
+    pts = np.take_along_axis(pts, order[..., None], axis=1)
+    pts = jnp.array(pts)
+
+    dnbh = dense.build_dense_graph(
+        pts, pts, 0.35, k, kernel, window=768, self_graph=True
+    )
+    assert bool(dnbh.ok), "graph not certified on test cloud"
+    f_bins = kernel[0] * kernel[1] * (kernel[2] - 1) + 2
+
+    def run(direct: bool):
+        dense._DIRECT_WIN_DMA = direct
+        outs = []
+        for c in (128, 256):  # transposed and row-major DMA kernels
+            feats = jnp.array(
+                rng2.standard_normal((b, n, c)).astype(np.float32)
+            )
+            filt = jnp.array(
+                rng2.standard_normal((f_bins, c, 2)).astype(np.float32)
+            )
+
+            def loss(f, w):
+                return jnp.sum(jnp.sin(
+                    dense.dense_depthwise_conv3d(f, w, dnbh)
+                ))
+
+            val, grads = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))(
+                feats, filt
+            )
+            outs.append(np.asarray(val))
+            outs.extend(np.asarray(g) for g in grads)
+        # rank pool (bf16 selection-only graph, n_cc == 1 DMA path)
+        pnbh = dense.build_dense_graph(
+            pts, pts[:, ::4], 0.35, 32, None, window=768
+        )
+        assert bool(pnbh.ok) and pnbh.k_max > 0
+        fp = jnp.array(
+            rng2.standard_normal((b, n, 128)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+
+        def ploss(f):
+            out, _ = dense.dense_max_pool3d(f, pnbh, with_index=False)
+            return jnp.sum(out.astype(jnp.float32))
+
+        pv, pg = jax.jit(jax.value_and_grad(ploss))(fp)
+        outs.append(np.asarray(pv))
+        outs.append(np.asarray(pg, dtype=np.float32))
+        return outs
+
+    rng2 = np.random.default_rng(3)
+    t0 = time.perf_counter()
+    ref = run(False)
+    rng2 = np.random.default_rng(3)
+    got = run(True)
+    for i, (r, g) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(g, r, rtol=2e-6, atol=2e-6,
+                                   err_msg=f"output {i}")
+    print(f"kernels OK: DMA path compiles on "
+          f"{jax.devices()[0].platform} and matches the materialized "
+          f"path ({len(ref)} arrays, {time.perf_counter() - t0:.1f}s)")
+
+
+def main() -> None:
+    mode = sys.argv[1]
+    if mode == "kernels":
+        _kernels()
+        return
+    flag = bool(int(sys.argv[2]))
+    import jax
+
+    import bench
+    import sph3d_gcn_tpu.ops.dense as dense
+
+    dense._DIRECT_WIN_DMA = flag
+    print(f"_DIRECT_WIN_DMA={flag}", flush=True)
+    if mode == "modelnet":
+        bench.bench_modelnet(jax)
+    elif mode == "s3dis":
+        bench.bench_s3dis(jax)
+    else:
+        raise SystemExit(f"unknown mode {mode}")
+
+
+if __name__ == "__main__":
+    main()

@@ -363,10 +363,23 @@ _A_CMP_DTYPE = jnp.int32  # flip to jnp.int8 to A/B the 4x-lane compare
 # fine-level conv/pool on the round-3 profile) and halves fw HBM
 # traffic; the backward still emits per-tile dfw maps, and the window
 # scatter (the gather's exact transpose) runs as one XLA one-hot matmul
-# in _window_scatter. Default OFF until the Mosaic lowering is validated
-# on a real chip (interpret-mode parity is covered by
-# tests/test_dense.py::test_dense_conv_pool_both_window_paths).
-_DIRECT_WIN_DMA = False
+# in _window_scatter.
+#
+# Mosaic constraint (measured on v5e): every dimension of a DMA'd
+# region must be tile-aligned — the (nbt, TILE, C) slab slice needs
+# C % 128 == 0 (lane tiling), so the path engages only for 128-multiple
+# channel widths (all S3DIS convs/pools past conv1; ModelNet's coarse
+# level). Narrower convs keep the materialized one-hot gather, which is
+# cheap exactly there. Interpret-mode parity for both feeds is covered
+# by tests/test_dense.py::test_dense_conv_pool_both_window_paths;
+# on-chip parity + timing by scripts/dma_ab.py (v5e A/B: S3DIS 832.2k
+# -> 860.8k pts/s with the DMA feed, ModelNet neutral — default ON).
+_DIRECT_WIN_DMA = True
+
+
+def _dma_ok(c: int) -> bool:
+    """True when the blocked-feature slab is legal to DMA (see above)."""
+    return _DIRECT_WIN_DMA and c % 128 == 0
 
 
 def _blocked_feats(feats: jax.Array, wp: int, w: int) -> tuple[jax.Array, int]:
@@ -1002,7 +1015,7 @@ def dense_depthwise_conv3d(
         filt_rcf = jnp.transpose(filt, (2, 1, 0)).astype(compute_dtype)
         used = _used_chunks(packed, wch)
         sblk = dnbh.s_blk.reshape(-1).astype(jnp.int32)
-        if _DIRECT_WIN_DMA:
+        if _dma_ok(c_in):
             fw, nbt = _blocked_feats(inputs, wp, w)
             nt_k, nbt_k = n_t, nbt
         else:
@@ -1033,7 +1046,7 @@ def dense_depthwise_conv3d(
         packed = dnbh.packed.reshape(batch * n_t, TILE, w)
         filt_rfc = jnp.transpose(filt, (2, 0, 1)).astype(compute_dtype)
         sblk = dnbh.s_blk.reshape(-1).astype(jnp.int32)
-        if _DIRECT_WIN_DMA:
+        if _dma_ok(c_in):
             fw, nbt = _blocked_feats(inputs, w, w)
             nt_k, nbt_k = n_t, nbt
         else:
@@ -1287,9 +1300,14 @@ def _rank_pool_fwd_kernel(
     cnt = cnt_ref[0]                                  # (1, T) int32
     if nbt:
         fwin_scr, sem = rest
-        nbw = fwin_scr.shape[0]
+        nbw, _, cc_w = fwin_scr.shape
         dma = pltpu.make_async_copy(
-            fw_ref.at[pl.ds((i // n_t) * nbt + sblk_ref[i], nbw)],
+            # chunked pools (n_cc > 1) DMA only this cell's 128-lane
+            # channel chunk (lane starts/sizes stay tile-aligned)
+            fw_ref.at[
+                pl.ds((i // n_t) * nbt + sblk_ref[i], nbw), :,
+                pl.ds(pl.program_id(0) * cc_w, cc_w),
+            ],
             fwin_scr, sem,
         )
         dma.start()
@@ -1387,13 +1405,14 @@ def _rank_window_max_for(wp: int, wch: int, c: int, n_cc: int,
                          n_t: int = 0, nbt: int = 0):
     """custom_vjp factory for the rank-compacted masked max.
 
-    ``nbt > 0`` (requires n_cc == 1): direct window DMA — the op takes
-    the TILE-row-blocked feature array and its cotangent is the blocked
-    array (per-tile dfw scattered by _window_scatter)."""
+    ``nbt > 0``: direct window DMA — the op takes the TILE-row-blocked
+    feature array and its cotangent is the blocked array (per-tile dfw
+    scattered by _window_scatter). Chunked pools (n_cc > 1) DMA one
+    128-lane channel chunk per grid cell."""
     dtype = jnp.dtype(dtype_name)
     cc = c // n_cc
     assert wp % wch == 0 and c % n_cc == 0
-    assert not nbt or n_cc == 1
+    assert not nbt or cc % TILE == 0
     if nbt:
         fw_spec = pl.BlockSpec(memory_space=pl.ANY)
         dma_scratch = [
@@ -1655,7 +1674,7 @@ def dense_max_pool3d(
             1, n_kc,
         ).astype(jnp.int32)
         sblk = dnbh.s_blk.reshape(-1).astype(jnp.int32)
-        if _DIRECT_WIN_DMA and n_cc == 1:
+        if _dma_ok(c):
             fw, nbt = _blocked_feats(inputs, wp, w)
             nt_k, nbt_k = n_t, nbt
         else:

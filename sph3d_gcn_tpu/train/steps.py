@@ -404,7 +404,9 @@ class StepFactory:
                          "logits": batch_spec, "dense_ok": P()}
             if self.item_loss_fn is not None:
                 out_specs["item_loss"] = batch_spec
-            return jax.jit(self._sp_shard_map(step, out_specs=out_specs))
+            return jax.jit(self._sp_shard_map(
+                step, in_specs=(P(), batch_spec), out_specs=out_specs
+            ))
         if self.mesh is None:
             return jax.jit(step)
         rep = replicated(self.mesh)

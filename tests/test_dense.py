@@ -725,7 +725,9 @@ def test_dense_conv_pool_both_window_paths(direct, monkeypatch):
     )
     assert bool(dnbh.ok)
 
-    for c in (6, 160):  # transposed (C<=128) and row-major (C>128)
+    # 6: narrow fallback (DMA illegal, flag ignored); 128: transposed
+    # kernel DMA; 256: row-major kernel DMA (cc % 128 == 0 gate)
+    for c in (6, 128, 256):
         feats = jnp.array(rng.standard_normal((b, n, c)).astype(np.float32))
         filt = jnp.array(
             rng.standard_normal((F_BINS, c, 2)).astype(np.float32)
@@ -747,8 +749,8 @@ def test_dense_conv_pool_both_window_paths(direct, monkeypatch):
                 np.asarray(a), np.asarray(e), rtol=1e-4, atol=2e-5
             )
 
-    # rank-compacted bf16 pool (kernel=None maps, c=64, tie-free values)
-    c = 64
+    # rank-compacted bf16 pool (kernel=None maps, tie-free values);
+    # c=64: narrow fallback; c=128: DMA feed; c=256: chunked (n_cc=2) DMA
     samp = np.sort(rng.choice(n, 75, replace=False))
     idx_s = jnp.asarray(np.asarray(nbh.idx)[:, samp])
     cnt_s = jnp.asarray(np.asarray(nbh.count)[:, samp])
@@ -764,21 +766,22 @@ def test_dense_conv_pool_both_window_paths(direct, monkeypatch):
         np.linspace(1.0, 15.9, 8000).astype(np.float32)
         .astype(jnp.bfloat16).astype(np.float32)
     )
-    vals = np.stack([
-        rng.choice(pool_vals, n, replace=False) for _ in range(b * c)
-    ]).reshape(b, c, n).transpose(0, 2, 1)
-    feats = jnp.array(vals.astype(np.float32)).astype(jnp.bfloat16)
-    out_ref, _ = max_pool3d(feats, idx_s, cnt_s)
-    out_d, _ = dense_max_pool3d(feats, dnbh_p, with_index=False)
-    np.testing.assert_array_equal(
-        np.asarray(out_d, np.float32), np.asarray(out_ref, np.float32)
-    )
-    g_d = jax.grad(lambda f: jnp.sum(jnp.sin(
-        dense_max_pool3d(f, dnbh_p, with_index=False)[0]
-        .astype(jnp.float32))))(feats)
-    g_r = jax.grad(lambda f: jnp.sum(jnp.sin(
-        max_pool3d(f, idx_s, cnt_s)[0].astype(jnp.float32))))(feats)
-    np.testing.assert_allclose(
-        np.asarray(g_d, np.float32), np.asarray(g_r, np.float32),
-        rtol=1e-2, atol=1e-3,
-    )
+    for c in (64, 128, 256) if direct else (64,):
+        vals = np.stack([
+            rng.choice(pool_vals, n, replace=False) for _ in range(b * c)
+        ]).reshape(b, c, n).transpose(0, 2, 1)
+        feats = jnp.array(vals.astype(np.float32)).astype(jnp.bfloat16)
+        out_ref, _ = max_pool3d(feats, idx_s, cnt_s)
+        out_d, _ = dense_max_pool3d(feats, dnbh_p, with_index=False)
+        np.testing.assert_array_equal(
+            np.asarray(out_d, np.float32), np.asarray(out_ref, np.float32)
+        )
+        g_d = jax.grad(lambda f: jnp.sum(jnp.sin(
+            dense_max_pool3d(f, dnbh_p, with_index=False)[0]
+            .astype(jnp.float32))))(feats)
+        g_r = jax.grad(lambda f: jnp.sum(jnp.sin(
+            max_pool3d(f, idx_s, cnt_s)[0].astype(jnp.float32))))(feats)
+        np.testing.assert_allclose(
+            np.asarray(g_d, np.float32), np.asarray(g_r, np.float32),
+            rtol=1e-2, atol=1e-3,
+        )
