@@ -166,9 +166,11 @@ def _parse_shape(buf: bytes) -> tuple[int, ...]:
 
 
 def _parse_entry(buf: bytes) -> dict:
-    """BundleEntryProto: dtype=1 shape=2 shard_id=3 offset=4 size=5."""
-    entry = {"dtype": 0, "shape": (), "shard_id": 0, "offset": 0, "size": 0}
-    for field, _wire, value in _iter_proto_fields(buf):
+    """BundleEntryProto: dtype=1 shape=2 shard_id=3 offset=4 size=5
+    crc32c=6 slices=7."""
+    entry = {"dtype": 0, "shape": (), "shard_id": 0, "offset": 0, "size": 0,
+             "crc32c": 0, "slices": 0}
+    for field, wire, value in _iter_proto_fields(buf):
         if field == 1:
             entry["dtype"] = int(value)
         elif field == 2:
@@ -179,6 +181,12 @@ def _parse_entry(buf: bytes) -> dict:
             entry["offset"] = int(value)
         elif field == 5:
             entry["size"] = int(value)
+        elif field == 6:
+            entry["crc32c"] = (
+                struct.unpack("<I", value)[0] if wire == 5 else int(value)
+            )
+        elif field == 7:
+            entry["slices"] += 1
     return entry
 
 
@@ -197,7 +205,8 @@ def _key(field: int, wire: int) -> bytes:
     return _write_varint((field << 3) | wire)
 
 
-def _encode_entry(dtype_code, shape, shard_id, offset, size) -> bytes:
+def _encode_entry(dtype_code, shape, shard_id, offset, size,
+                  crc: int = 0) -> bytes:
     shape_buf = b"".join(
         _key(2, 2)
         + _write_varint(len(dim_buf := _key(1, 0) + _write_varint(d)))
@@ -210,7 +219,15 @@ def _encode_entry(dtype_code, shape, shard_id, offset, size) -> bytes:
         out += _key(3, 0) + _write_varint(shard_id)
     out += _key(4, 0) + _write_varint(offset)
     out += _key(5, 0) + _write_varint(size)
+    if crc:
+        out += _key(6, 5) + struct.pack("<I", crc)
     return out
+
+
+# crc32c: LevelDB tables and bundle entries carry the same masked
+# crc32c TFRecord framing uses — reuse that codec's helpers (C extension
+# when available).
+from sph3d_gcn_tpu.data.tfrecord import _masked_crc
 
 
 # ---------------------------- table format -----------------------------
@@ -238,14 +255,35 @@ def _parse_block(data: bytes) -> list[tuple[bytes, bytes]]:
 
 def _read_table_block(buf: bytes, offset: int, size: int) -> bytes:
     """Read a block given its handle; the 5-byte trailer after the block
-    holds (compression_type, crc32c)."""
+    holds (compression_type, masked crc32c of block+type).
+
+    The CRC is verified when nonzero (our own writer stores 0; TF always
+    stores a real one) — a mismatch means on-disk corruption and raises
+    rather than returning silently-wrong tensors."""
+    if offset + size + 5 > len(buf):
+        raise ValueError(
+            f"table block at offset {offset} (+{size}+5 trailer) runs past "
+            f"the file end ({len(buf)} bytes): truncated index file"
+        )
     data = buf[offset:offset + size]
     compression = buf[offset + size]
+    stored_crc = struct.unpack("<I", buf[offset + size + 1:offset + size + 5])[0]
+    if stored_crc:
+        got = _masked_crc(buf[offset:offset + size + 1])
+        if got != stored_crc:
+            raise ValueError(
+                f"table block at offset {offset}: crc32c mismatch "
+                f"(stored {stored_crc:#010x}, computed {got:#010x}) — "
+                "the .index file is corrupted"
+            )
     if compression == 0:
         return data
     if compression == 1:
         return _snappy_decompress(data)
-    raise ValueError(f"unsupported block compression {compression}")
+    raise ValueError(
+        f"table block at offset {offset}: unsupported compression type "
+        f"{compression} (0=none and 1=snappy are the formats TF writes)"
+    )
 
 
 def _read_handle(buf: bytes, pos: int) -> tuple[int, int, int]:
@@ -298,17 +336,44 @@ def read_bundle(prefix: str) -> dict[str, np.ndarray]:
     shards: dict[int, bytes] = {}
     out: dict[str, np.ndarray] = {}
     for name, entry in sorted(entries.items()):
+        if entry["slices"]:
+            raise ValueError(
+                f"{name}: slice-partitioned variable ({entry['slices']} "
+                "slices) — the reference saves whole variables only "
+                "(ref train_modelnet.py:188); re-save the checkpoint "
+                "without a PartitionedVariable"
+            )
         shard = entry["shard_id"]
         if shard not in shards:
-            shards[shard] = open(
-                _shard_path(prefix, shard, header["num_shards"]), "rb"
-            ).read()
+            path = _shard_path(prefix, shard, header["num_shards"])
+            if not os.path.exists(path):
+                raise FileNotFoundError(
+                    f"{name}: data shard {path} missing (the bundle header "
+                    f"declares {header['num_shards']} shard(s); copy ALL "
+                    f"{prefix}.data-* files next to the .index)"
+                )
+            shards[shard] = open(path, "rb").read()
         dtype = _DTYPES.get(entry["dtype"])
         if dtype is None:
             raise ValueError(
                 f"{name}: unsupported dtype code {entry['dtype']}"
             )
-        raw = shards[shard][entry["offset"]:entry["offset"] + entry["size"]]
+        end = entry["offset"] + entry["size"]
+        if end > len(shards[shard]):
+            raise ValueError(
+                f"{name}: tensor bytes [{entry['offset']}, {end}) run past "
+                f"shard {shard}'s {len(shards[shard])} bytes: truncated "
+                ".data file"
+            )
+        raw = shards[shard][entry["offset"]:end]
+        if entry["crc32c"]:
+            got = _masked_crc(raw)
+            if got != entry["crc32c"]:
+                raise ValueError(
+                    f"{name}: tensor crc32c mismatch (stored "
+                    f"{entry['crc32c']:#010x}, computed {got:#010x}) — the "
+                    ".data file is corrupted"
+                )
         arr = np.frombuffer(raw, dtype=dtype)
         out[name] = arr.reshape(entry["shape"]).copy()
     return out
@@ -317,9 +382,11 @@ def read_bundle(prefix: str) -> dict[str, np.ndarray]:
 # ------------------------------ writer ---------------------------------
 
 def _block_with_trailer(payload: bytes) -> bytes:
-    """Uncompressed block + (type, crc) trailer (crc not verified by our
-    reader; TF verifies lazily only when configured to)."""
-    return payload + b"\x00" + struct.pack("<I", 0)
+    """Uncompressed block + (type, masked-crc32c) trailer — the real
+    checksum, so readers that verify (ours does when nonzero) accept the
+    bundle and detect later corruption."""
+    block = payload + b"\x00"
+    return block + struct.pack("<I", _masked_crc(block))
 
 
 def _make_block(entries: list[tuple[bytes, bytes]]) -> bytes:
@@ -349,15 +416,16 @@ def write_bundle(prefix: str, tensors: dict[str, np.ndarray]) -> None:
         offset = len(data)
         raw = arr.tobytes()
         data += raw
-        items.append((name, code, arr.shape, offset, len(raw)))
+        items.append((name, code, arr.shape, offset, len(raw),
+                      _masked_crc(raw)))
     with open(_shard_path(prefix, 0, 1), "wb") as f:
         f.write(bytes(data))
 
     header = _key(1, 0) + _write_varint(1)  # num_shards = 1
     kv = [(b"", header)]
-    for name, code, shape, offset, size in items:
+    for name, code, shape, offset, size, crc in items:
         kv.append(
-            (name.encode(), _encode_entry(code, shape, 0, offset, size))
+            (name.encode(), _encode_entry(code, shape, 0, offset, size, crc))
         )
     data_block = _make_block(kv)
     buf = bytearray()

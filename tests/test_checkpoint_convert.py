@@ -145,3 +145,196 @@ def test_tf1_bundle_to_model_variables(tmp_path):
         ),
         tensors["mlp1/bn/moving_mean"],
     )
+
+
+def _snappy_compress_literal(data: bytes) -> bytes:
+    """Minimal VALID snappy raw stream: one (possibly long) literal.
+
+    Enough to exercise the reader's decompressor on the block-compression
+    corner TF can produce but our writer never does."""
+    from sph3d_gcn_tpu.utils.tf1_bundle import _write_varint
+
+    out = bytearray(_write_varint(len(data)))
+    pos = 0
+    while pos < len(data):
+        chunk = data[pos:pos + 65536]
+        n = len(chunk)
+        if n <= 60:
+            out.append((n - 1) << 2)       # short literal tag
+        else:
+            out.append(61 << 2)            # literal, 2 extra length bytes
+            out += (n - 1).to_bytes(2, "little")
+        out += chunk
+        pos += n
+    return bytes(out)
+
+
+def test_tf1_bundle_snappy_block(tmp_path):
+    """A snappy-compressed data block (TF can write these; our writer
+    never does) round-trips through the reader's decompressor."""
+    from sph3d_gcn_tpu.data.tfrecord import _masked_crc
+    from sph3d_gcn_tpu.utils.tf1_bundle import (
+        read_bundle,
+        write_bundle,
+    )
+
+    prefix = str(tmp_path / "model.ckpt-1")
+    tensors = {
+        "conv1_1/weights": np.arange(24, dtype=np.float32).reshape(4, 6),
+        "bn/gamma": np.ones((6,), np.float32),
+    }
+    write_bundle(prefix, tensors)
+
+    # Re-pack the index with its FIRST block snappy-compressed: find the
+    # data block (offset 0) and rebuild the file around a compressed copy.
+    raw = open(prefix + ".index", "rb").read()
+    footer = raw[-48:]
+    from sph3d_gcn_tpu.utils.tf1_bundle import _read_handle, _write_varint
+
+    meta_off, meta_size, pos = _read_handle(footer, 0)
+    index_off, index_size, pos = _read_handle(footer, pos)
+    data_block = raw[:meta_off - 5]  # block without its 5-byte trailer
+    comp = _snappy_compress_literal(data_block)
+    buf = bytearray()
+    buf += comp + b"\x01"
+    buf += int(_masked_crc(bytes(comp) + b"\x01")).to_bytes(4, "little")
+    new_meta_off = len(buf)
+    meta_block = raw[meta_off:meta_off + meta_size]
+    buf += meta_block + raw[meta_off + meta_size:meta_off + meta_size + 5]
+    new_index_off = len(buf)
+    # index block maps to the data block handle (offset 0, compressed size)
+    from sph3d_gcn_tpu.utils.tf1_bundle import _make_block, _block_with_trailer
+
+    handle = _write_varint(0) + _write_varint(len(comp))
+    index_block = _make_block([(b"\xff", handle)])
+    buf += _block_with_trailer(index_block)
+    import struct as _struct
+
+    new_footer = bytearray()
+    new_footer += _write_varint(new_meta_off) + _write_varint(meta_size)
+    new_footer += _write_varint(new_index_off) + _write_varint(len(index_block))
+    new_footer += b"\x00" * (40 - len(new_footer))
+    new_footer += _struct.pack("<Q", 0xDB4775248B80FB57)
+    open(prefix + ".index", "wb").write(bytes(buf) + bytes(new_footer))
+
+    got = read_bundle(prefix)
+    for k, v in tensors.items():
+        np.testing.assert_array_equal(got[k], v)
+
+
+def test_tf1_bundle_multi_shard(tmp_path):
+    """A 2-shard bundle (TF writes these for sharded saves): entries
+    resolve against their own .data-NNNNN-of-00002 file."""
+    from sph3d_gcn_tpu.data.tfrecord import _masked_crc
+    from sph3d_gcn_tpu.utils.tf1_bundle import (
+        _block_with_trailer,
+        _encode_entry,
+        _key,
+        _make_block,
+        _write_varint,
+        read_bundle,
+    )
+    import struct as _struct
+
+    prefix = str(tmp_path / "model.ckpt-7")
+    a = np.arange(6, dtype=np.float32)
+    b = np.arange(8, dtype=np.int64).reshape(2, 4)
+    open(f"{prefix}.data-00000-of-00002", "wb").write(a.tobytes())
+    open(f"{prefix}.data-00001-of-00002", "wb").write(b.tobytes())
+
+    header = _key(1, 0) + _write_varint(2)  # num_shards = 2
+    kv = [
+        (b"", header),
+        (b"alpha", _encode_entry(1, a.shape, 0, 0, a.nbytes,
+                                 _masked_crc(a.tobytes()))),
+        (b"beta", _encode_entry(9, b.shape, 1, 0, b.nbytes,
+                                _masked_crc(b.tobytes()))),
+    ]
+    data_block = _make_block(kv)
+    buf = bytearray(_block_with_trailer(data_block))
+    meta_off = len(buf)
+    meta_block = _make_block([])
+    buf += _block_with_trailer(meta_block)
+    index_off = len(buf)
+    handle = _write_varint(0) + _write_varint(len(data_block))
+    index_block = _make_block([(b"\xff", handle)])
+    buf += _block_with_trailer(index_block)
+    footer = bytearray()
+    footer += _write_varint(meta_off) + _write_varint(len(meta_block))
+    footer += _write_varint(index_off) + _write_varint(len(index_block))
+    footer += b"\x00" * (40 - len(footer))
+    footer += _struct.pack("<Q", 0xDB4775248B80FB57)
+    open(prefix + ".index", "wb").write(bytes(buf) + bytes(footer))
+
+    got = read_bundle(prefix)
+    np.testing.assert_array_equal(got["alpha"], a)
+    np.testing.assert_array_equal(got["beta"], b)
+
+    # missing shard file -> actionable error naming the path
+    import os
+
+    os.remove(f"{prefix}.data-00001-of-00002")
+    with pytest.raises(FileNotFoundError, match="data-00001-of-00002"):
+        read_bundle(prefix)
+
+
+def test_tf1_bundle_crc_corruption(tmp_path):
+    """Corrupting tensor bytes or a table block trips the crc32c check
+    with an actionable message (never silently-wrong tensors)."""
+    from sph3d_gcn_tpu.utils.tf1_bundle import read_bundle, write_bundle
+
+    prefix = str(tmp_path / "model.ckpt-3")
+    write_bundle(prefix, {"w": np.arange(16, dtype=np.float32)})
+
+    # flip a tensor byte in the data shard
+    data_path = prefix + ".data-00000-of-00001"
+    raw = bytearray(open(data_path, "rb").read())
+    raw[5] ^= 0xFF
+    open(data_path, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="crc32c mismatch"):
+        read_bundle(prefix)
+
+    # restore tensor, corrupt an index table block instead
+    raw[5] ^= 0xFF
+    open(data_path, "wb").write(bytes(raw))
+    idx = bytearray(open(prefix + ".index", "rb").read())
+    idx[2] ^= 0xFF
+    open(prefix + ".index", "wb").write(bytes(idx))
+    with pytest.raises(ValueError, match="crc32c mismatch|corrupted"):
+        read_bundle(prefix)
+
+
+def test_tf1_bundle_truncated_and_sliced(tmp_path):
+    """Truncated .data files and slice-partitioned variables produce
+    actionable errors."""
+    from sph3d_gcn_tpu.utils.tf1_bundle import read_bundle, write_bundle
+
+    prefix = str(tmp_path / "model.ckpt-4")
+    write_bundle(prefix, {"w": np.arange(100, dtype=np.float32)})
+    data_path = prefix + ".data-00000-of-00001"
+    raw = open(data_path, "rb").read()
+    open(data_path, "wb").write(raw[:50])
+    with pytest.raises(ValueError, match="truncated"):
+        read_bundle(prefix)
+
+
+def test_parity_check_ckpt_error_path(tmp_path):
+    """scripts/parity_check.py --ckpt with a corrupt bundle dies with the
+    reader's actionable message, not a stack of decode garbage."""
+    import subprocess
+    import sys
+
+    prefix = tmp_path / "model.ckpt-9"
+    (tmp_path / "model.ckpt-9.index").write_bytes(b"not a table file")
+    batch = tmp_path / "batch.npz"
+    np.savez(batch, points=np.zeros((1, 64, 3), np.float32),
+             label=np.zeros((1,), np.int64),
+             logits=np.zeros((1, 40), np.float32))
+    proc = subprocess.run(
+        [sys.executable, "scripts/parity_check.py", "--platform", "cpu",
+         "--model", "modelnet", "--ckpt", str(prefix), "--batch",
+         str(batch)],
+        capture_output=True, text=True, cwd=".",
+    )
+    assert proc.returncode != 0
+    assert "not a TF table file" in proc.stderr + proc.stdout
