@@ -208,6 +208,92 @@ def main():
     print(f"== step {dt * 1000:.1f} ms, {flops / 1e9:.1f} GFLOP (HLO), "
           f"MFU {flops / dt / peak * 100:.2f}% of v5e bf16 peak ==")
 
+    # ---- engine roofline (round-4 directive #2) ----
+    # The dense engine's own physical work per step, from the trace-time
+    # cost ledger (ops/dense.py _COST_LEDGER: exact per-op kernel shapes,
+    # no config re-derivation), converted to per-resource lower bounds.
+    # HLO "useful" flops miss the one-hot matmuls' MXU work and the
+    # window-slab HBM traffic entirely, so MFU alone cannot falsify
+    # "the conv is at its floor" — these bounds can.
+    import sph3d_gcn_tpu.ops.dense as dense_mod
+
+    ledger: list = []
+    dense_mod._COST_LEDGER = ledger
+    jax.eval_shape(
+        factory.train_step(donate=False), state, batch, key
+    )
+    dense_mod._COST_LEDGER = None
+    bound = roofline(ledger)
+    for k, v in bound.items():
+        print(f"roofline {k}: {v:.2f} ms")
+    floor = max(bound.values())
+    print(
+        f"== modeled step floor {floor:.2f} ms "
+        f"(measured {dt * 1000:.1f} ms = {dt * 1000 / floor:.2f}x the "
+        f"binding resource) =="
+    )
+
+
+# v5e rates (approximate, documented): MXU 197 bf16 TFLOP/s => 98.5e12
+# MAC/s; VPU ~ 8 sublanes x 128 lanes x 4 ALUs x ~0.94 GHz ~= 3.9e12
+# 32-bit lane-ops/s (16-bit ops pack 2x); HBM ~ 810 GB/s.
+_MXU = 98.5e12
+_VPU = 3.9e12
+_HBM = 8.1e11
+
+
+def roofline(ledger: list) -> dict:
+    """Per-resource time (ms) the recorded dense ops need at the v5e
+    rates above, for one TRAIN step (fwd + bwd multipliers per op kind).
+
+    Conservative in both directions by design: windows are counted at
+    full padded width (the kernels skip all-zero tail chunks), but BN,
+    optimizer, FPS, logits/loss and XLA fusions are not modeled at all.
+    The binding resource's time is a floor for the step; "measured /
+    floor" close to 1 means the engine is at its own structural limit
+    and further wins require changing the engine, not tuning kernels."""
+    mxu = vpu = hbm = 0.0
+    t = 128
+    for r in ledger:
+        g, w = r["g"], r.get("w", 0)
+        c = r.get("c", 0)
+        if r["kind"] == "conv":
+            f, mult = r["f"], r["mult"]
+            # S/dfw one-hot matmuls: fwd 1, bwd 2 (S recompute + dfw)
+            mxu += 3 * g * c * f * t * w
+            # A builds (compare + cast over (F, T, W)): fwd + bwd
+            vpu += 2 * 2 * g * f * t * w
+            # window slab reads fwd + bwd (+ gather write/read when the
+            # materialized path is in use), packed map reads
+            slab = 2 * g * w * c
+            hbm += (2 if r["dma"] else 4) * slab + 2 * g * t * w
+            if r["pointwise"]:
+                mxu += 3 * g * t * (c * mult) * r["pointwise"]
+        elif r["kind"] == "max_pool":
+            k = r["k"] or 64
+            # rank-compaction matmuls fwd + bwd
+            mxu += 2 * g * k * t * w * c
+            vpu += 2 * 2 * g * k * t * w
+            slab = 2 * g * w * c
+            hbm += (2 if r["dma"] else 4) * slab + 2 * g * t * w
+        elif r["kind"] == "masked_mean":
+            mxu += 3 * g * t * w * c
+            vpu += 2 * g * t * w
+            hbm += 2 * g * t * w
+        elif r["kind"] == "window_gather":
+            # one-hot block gather einsum + its backward scatter
+            nb = r["n_pad"] // t + 1
+            mxu += 2 * g * (r["w"] // t) * nb * t * c
+        elif r["kind"] == "query":
+            # distance + compare-only bin/rank passes, ~20 lane-ops per
+            # (query, candidate); fwd only (no gradient)
+            vpu += 20 * g * t * w
+    return {
+        "mxu": mxu / _MXU * 1e3,
+        "vpu": vpu / _VPU * 1e3,
+        "hbm": hbm / _HBM * 1e3,
+    }
+
 
 if __name__ == "__main__":
     main()

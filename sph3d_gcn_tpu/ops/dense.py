@@ -57,6 +57,19 @@ TILE = 128
 _BOUNDARY_EPS = 1e-6     # ref tf_nnquery_gpu.cu:49
 _M_EPS = 1.01e-3         # ref tf_buildkernel_gpu.cu:6
 
+# Trace-time cost ledger for the bytes/flops roofline
+# (scripts/profile_step.py --roofline). When set to a list, every dense op
+# appends one record with its EXACT kernel shapes (tiles g, padded window
+# W, channels, bins, multiplier) as it is traced — no config re-derivation
+# — and the profiler turns the records into per-resource (MXU / VPU /
+# HBM) lower bounds for the step. None (the default) costs nothing.
+_COST_LEDGER: list | None = None
+
+
+def _record_cost(kind: str, **kw) -> None:
+    if _COST_LEDGER is not None:
+        _COST_LEDGER.append({"kind": kind, **kw})
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -125,6 +138,7 @@ def build_dense_graph(
     self_graph: bool = False,
     need_dist: bool = False,
     growth_steps: int = 0,
+    query_shard: tuple[str, int] | None = None,
 ) -> DenseNeighborhood:
     """Dense windowed counterpart of ``build_sphere_neighbor_and_bins``.
 
@@ -147,6 +161,19 @@ def build_dense_graph(
                 grown radius. Only for selection-only graphs
                 (``kernel=None``) — intra graphs self-include and never
                 grow. Rows needing more growth flip ok=False.
+      query_shard: (mesh_axis_name, num_shards) when called INSIDE a
+                shard_map over a point-sharded model: only THIS shard's
+                query-tile range is computed — the Pallas query grid, the
+                slab-bound compare-counts and the packed/dist maps all
+                shrink 1/d (round-4 directive #3: the graph build must
+                scale with the mesh, not run replicated). The database
+                (coordinates) stays replicated — it is the cheap O(N)
+                part. Returned fields are tile-LOCAL, with ``s_blk`` still
+                in full-database block coordinates (rebase with
+                ``parallel.spatial.local_neighborhood`` for haloed
+                features) and ``ok`` certifying this shard's tiles only
+                (combine across shards with pmin, as the models do).
+                Requires the padded query tile count to split evenly.
 
     Returns:
       DenseNeighborhood (see class docstring).
@@ -169,6 +196,28 @@ def build_dense_graph(
     q_p = jnp.pad(q, ((0, 0), (0, m_pad - num_q), (0, 0)),
                   constant_values=1e9)
 
+    # Tile-shard the query: every certificate/map computation below is
+    # per-query-tile, so slicing q_p here shrinks ALL of it to this
+    # shard's tiles (see the query_shard docstring).
+    row0 = 0
+    if query_shard is not None:
+        from jax import lax as _lax
+
+        ax_name, shards = query_shard
+        if n_t % shards:
+            raise ValueError(
+                f"{n_t} query tiles do not split over {shards} shards"
+            )
+        if num_q != m_pad:
+            raise ValueError(
+                f"query_shard needs a TILE-aligned query count, got "
+                f"{num_q} (pad to {m_pad})"
+            )
+        n_t = n_t // shards
+        m_pad = n_t * TILE
+        row0 = _lax.axis_index(ax_name) * m_pad
+        q_p = _lax.dynamic_slice_in_dim(q_p, row0, m_pad, axis=1)
+
     key, axis, is_sorted = _sorted_axis_ok(db)
     key_p = jnp.pad(key, ((0, 0), (0, n_pad - num_db)),
                     constant_values=2e9)
@@ -177,7 +226,7 @@ def build_dense_graph(
     # correctness does not require it — only window tightness does).
     q_key = jnp.take_along_axis(q_p, axis[:, None, None], axis=2)[..., 0]
     q_key = jnp.where(
-        jnp.arange(m_pad)[None, :] < num_q, q_key, jnp.nan
+        row0 + jnp.arange(m_pad)[None, :] < num_q, q_key, jnp.nan
     ).reshape(batch, n_t, TILE)
     tile_min = jnp.nanmin(q_key, axis=-1)           # (B, nT); NaN-safe
     tile_max = jnp.nanmax(q_key, axis=-1)
@@ -265,16 +314,20 @@ def build_dense_graph(
         # The reference grows the radius for zero-neighbor queries
         # (ref tf_nnquery_gpu.cu:30-60); dense mode reports that (rare)
         # case through ok=False instead — callers fall back.
-        real_q = jnp.arange(m_pad)[None, :] < num_q
+        real_q = row0 + jnp.arange(m_pad)[None, :] < num_q
         ok = ok & jnp.all(jnp.where(real_q, count, 1) > 0)
 
+    _record_cost(
+        "query", g=batch * n_t, w=w, k=k,
+        bins=kernel is not None, growth=growth_steps,
+    )
     return DenseNeighborhood(
         packed=packed,
         s_blk=s_blk,
-        count=count[:, :num_q],
+        count=count if query_shard is not None else count[:, :num_q],
         dist=dist,
         ok=ok,
-        num_query=num_q,
+        num_query=m_pad if query_shard is not None else num_q,
         num_db=num_db,
         k_max=k if (kernel is None and k <= 127) else 0,
     )
@@ -293,6 +346,7 @@ def window_features(
     w = dnbh.window
     wp = pad_to or w
     n_t = dnbh.s_blk.shape[1]
+    _record_cost("window_gather", g=b * n_t, w=wp, c=c, n_pad=n_pad)
     # one extra zeroed TILE block at the end serves as the pad target
     feats_p = jnp.pad(feats, ((0, 0), (0, n_pad + TILE - n), (0, 0)))
     blk = dnbh.s_blk[..., None] + jnp.arange(w // TILE)
@@ -438,7 +492,7 @@ def _conv_chunk_a(packed_ref, c, wch, f_bins, dtype):
 
 def _dense_conv_fwd_kernel(
     used_ref, sblk_ref, packed_ref, fw_ref, filt_ref, inv_ref, out_ref,
-    s_scr, *rest, wch, n_wc, n_t, nbt,
+    *rest, wch, n_wc, n_t, nbt, stash=False,
 ):
     """Grid (k_c, g): one cell = one query tile (for one C chunk). The W
     sweep is an in-kernel ``fori_loop`` whose trip count is the tile's
@@ -453,10 +507,20 @@ def _dense_conv_fwd_kernel(
     TILE-row-blocked feature array in ANY memory and the tile's window
     slab is DMA'd into a VMEM scratch here (one dynamic ds on the
     leading dim, as in the query kernel); otherwise it is the
-    materialized (1, W, cc) window block."""
+    materialized (1, W, cc) window block.
+
+    ``stash=True`` (the VJP forward) also emits the bin-contraction
+    matrix S (cc, F*T) in the compute dtype so the backward skips the
+    most expensive recompute — the per-chunk S dot, which at C >= 64
+    rivals the whole forward (round-4 probe) — paying one HBM
+    write+read of S instead. The primal-only kernel (eval forwards)
+    never materializes it."""
     i = pl.program_id(1)
     used = used_ref[i]
     mult, cc, f_bins = filt_ref.shape
+    if stash:
+        sout_ref, *rest = rest
+    s_scr, *rest = rest
     if nbt:
         fwin_scr, sem = rest
         nbw = fwin_scr.shape[0]
@@ -485,6 +549,8 @@ def _dense_conv_fwd_kernel(
         return carry
 
     lax.fori_loop(0, used, body, jnp.int32(0))
+    if stash:
+        sout_ref[0] = s_scr[...].astype(sout_ref.dtype)
     s3 = s_scr[...].reshape(cc, f_bins, TILE)
     inv = inv_ref[0]                                # (1, T)
     for r in range(mult):
@@ -495,19 +561,20 @@ def _dense_conv_fwd_kernel(
 
 
 def _dense_conv_bwd_kernel(
-    used_ref, sblk_ref, packed_ref, fw_ref, filt_ref, inv_ref, dout_ref,
-    dfw_ref, dfilt_ref, s_scr, ds_scr, *rest, wch, n_wc, n_t, nbt,
+    used_ref, packed_ref, filt_ref, inv_ref, dout_ref, sin_ref,
+    dfw_ref, dfilt_ref, ds_scr, *, wch, n_wc,
 ):
-    """Same grid as forward. Recomputes S (A never stored); emits
-    dfw^T[c, w] = sum_(f,t) dS[c,(f,t)] A[(f,t),w] per W chunk and
-    dfilt^T[r,c,f] = sum_t S[c,f,t] dout[r,c,t] at the end, accumulated
-    over all tiles (ref tf_conv3d_gpu.cu:33-101 semantics,
-    deterministic). Chunks past the tile's last nonempty one are skipped
-    by the loop bound; their dfw slots were zeroed up front.
-
-    ``nbt > 0`` selects direct window DMA for fw, as in the forward
-    kernel (dfw still goes out as per-tile maps — the window scatter is
-    one XLA one-hot matmul, _window_scatter).
+    """Same grid as forward. The bin-contraction matrix S comes back in
+    from the forward's stash (``sin_ref``; see _dense_conv_fwd_kernel
+    stash=True) — recomputing it here cost a second full A matmul per
+    chunk, which at C >= 64 rivals the whole forward (round-4 probe) —
+    and with S stashed the backward never touches the feature windows
+    at all (no fw input, no window DMA: dfw = dS @ A needs only the
+    packed map). Emits dfw^T[c, w] = sum_(f,t) dS[c,(f,t)] A[(f,t),w]
+    per W chunk and dfilt^T[r,c,f] = sum_t S[c,f,t] dout[r,c,t] at the
+    end, accumulated over all tiles (ref tf_conv3d_gpu.cu:33-101
+    semantics, deterministic). Chunks past the tile's last nonempty one
+    are skipped by the loop bound; their dfw slots were zeroed up front.
 
     The (C, W) output orientation is deliberate: emitting (W, C)
     directly (to skip the HBM swapaxes after) needs a contract-on-dim-0
@@ -517,20 +584,11 @@ def _dense_conv_bwd_kernel(
     i = pl.program_id(1)
     used = used_ref[i]
     mult, cc, f_bins = filt_ref.shape
-    if nbt:
-        fwin_scr, sem = rest
-        nbw = fwin_scr.shape[0]
-        dma = pltpu.make_async_copy(
-            fw_ref.at[pl.ds((i // n_t) * nbt + sblk_ref[i], nbw)],
-            fwin_scr, sem,
-        )
-        dma.start()
 
     @pl.when(i == 0)
     def _():
         dfilt_ref[...] = jnp.zeros_like(dfilt_ref)
 
-    s_scr[...] = jnp.zeros_like(s_scr)
     dfw_ref[...] = jnp.zeros_like(dfw_ref)
     inv = inv_ref[0]                                       # (1, T)
     ds = jnp.zeros((cc, f_bins, TILE), jnp.float32)
@@ -541,22 +599,9 @@ def _dense_conv_bwd_kernel(
     # staged in the MATMUL dtype: the dfw dot reads it every W chunk, so
     # the f32->bf16 convert happens once per tile here, not per chunk
     ds_scr[...] = ds.reshape(cc, f_bins * TILE).astype(ds_scr.dtype)
-    if nbt:
-        dma.wait()
-
-    def _fw_chunk(c):
-        if nbt:
-            wcb = wch // TILE
-            return fwin_scr[pl.ds(c * wcb, wcb)].reshape(wch, cc)
-        return fw_ref[0, pl.ds(c * wch, wch), :]
 
     def body(c, carry):
         a = _conv_chunk_a(packed_ref, c, wch, f_bins, filt_ref.dtype)
-        s_scr[...] += lax.dot_general(
-            _fw_chunk(c), a,
-            (((0,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
         dfw_ref[0, :, pl.ds(c * wch, wch)] = lax.dot_general(
             ds_scr[...], a, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -564,7 +609,7 @@ def _dense_conv_bwd_kernel(
         return carry
 
     lax.fori_loop(0, used, body, jnp.int32(0))
-    s3 = s_scr[...].reshape(cc, f_bins, TILE)
+    s3 = sin_ref[0].astype(jnp.float32).reshape(cc, f_bins, TILE)
     for r in range(mult):
         dout_r = dout_ref[0, r].astype(jnp.float32) * inv
         dfilt_ref[r] += jnp.sum(
@@ -614,6 +659,11 @@ def _dense_conv_for(w: int, wch: int, f_bins: int, mult: int, c_pad: int,
     array (B*nbt, TILE, cc) instead of materialized windows and DMAs
     each tile's slab in-kernel (direct window DMA); its cotangent is the
     blocked array too (per-tile dfw maps scattered by _window_scatter).
+
+    Under differentiation the forward stashes its bin-contraction matrix
+    S (compute dtype, (g, C, F*T) in HBM) so the backward skips the S
+    recompute dot AND the window read entirely; the primal-only forward
+    (eval) never materializes the stash.
     """
     dtype = jnp.dtype(dtype_name)
     cc = c_pad // n_cc
@@ -634,10 +684,24 @@ def _dense_conv_for(w: int, wch: int, f_bins: int, mult: int, c_pad: int,
                                memory_space=pltpu.VMEM)
         dma_scratch = []
 
-    def fwd_impl(used, sblk, packed, fw, filt_rcf, inv):
+    def fwd_impl(used, sblk, packed, fw, filt_rcf, inv, stash: bool):
         g_dim = packed.shape[0]
-        return pl.pallas_call(
-            functools.partial(_dense_conv_fwd_kernel, **kparams),
+        out_specs = [pl.BlockSpec(
+            (1, mult, cc, TILE), lambda k, i, s, s2: (i, 0, k, 0),
+            memory_space=pltpu.VMEM,
+        )]
+        out_shape = [jax.ShapeDtypeStruct((g_dim, mult, c_pad, TILE), dtype)]
+        if stash:
+            out_specs.append(pl.BlockSpec(
+                (1, cc, f_bins * TILE), lambda k, i, s, s2: (i, k, 0),
+                memory_space=pltpu.VMEM,
+            ))
+            out_shape.append(jax.ShapeDtypeStruct(
+                (g_dim, c_pad, f_bins * TILE), dtype
+            ))
+        res = pl.pallas_call(
+            functools.partial(_dense_conv_fwd_kernel, stash=stash,
+                              **kparams),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
                 grid=(n_cc, g_dim),
@@ -653,59 +717,57 @@ def _dense_conv_for(w: int, wch: int, f_bins: int, mult: int, c_pad: int,
                                  lambda k, i, s, s2: (i, 0, 0),
                                  memory_space=pltpu.VMEM),
                 ],
-                out_specs=pl.BlockSpec(
-                    (1, mult, cc, TILE), lambda k, i, s, s2: (i, 0, k, 0),
-                    memory_space=pltpu.VMEM,
-                ),
+                out_specs=out_specs if stash else out_specs[0],
                 scratch_shapes=scratch + dma_scratch,
             ),
-            out_shape=jax.ShapeDtypeStruct(
-                (g_dim, mult, c_pad, TILE), dtype
-            ),
+            out_shape=out_shape if stash else out_shape[0],
             interpret=jax.default_backend() != "tpu",
         )(used, sblk, packed, fw, filt_rcf, inv)
+        return res if stash else (res, None)
 
     def bwd(res, dout):
-        used, sblk, packed, fw, filt_rcf, inv = res
+        used, sblk, packed, filt_rcf, inv, s_st = res
         g_dim = packed.shape[0]
         dfw_t, dfilt_t = pl.pallas_call(
-            functools.partial(_dense_conv_bwd_kernel, **kparams),
+            functools.partial(_dense_conv_bwd_kernel, wch=wch, n_wc=n_wc),
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=2,
+                num_scalar_prefetch=1,
                 grid=(n_cc, g_dim),
                 in_specs=[
                     pl.BlockSpec((1, TILE, w),
-                                 lambda k, i, s, s2: (i, 0, 0),
+                                 lambda k, i, s: (i, 0, 0),
                                  memory_space=pltpu.VMEM),
-                    fw_spec,
                     pl.BlockSpec((mult, cc, f_bins),
-                                 lambda k, i, s, s2: (0, k, 0),
+                                 lambda k, i, s: (0, k, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((1, 1, TILE),
-                                 lambda k, i, s, s2: (i, 0, 0),
+                                 lambda k, i, s: (i, 0, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((1, mult, cc, TILE),
-                                 lambda k, i, s, s2: (i, 0, k, 0),
+                                 lambda k, i, s: (i, 0, k, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, cc, f_bins * TILE),
+                                 lambda k, i, s: (i, k, 0),
                                  memory_space=pltpu.VMEM),
                 ],
                 out_specs=[
                     pl.BlockSpec((1, cc, w),
-                                 lambda k, i, s, s2: (i, k, 0),
+                                 lambda k, i, s: (i, k, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((mult, cc, f_bins),
-                                 lambda k, i, s, s2: (0, k, 0),
+                                 lambda k, i, s: (0, k, 0),
                                  memory_space=pltpu.VMEM),
                 ],
-                scratch_shapes=scratch + [
+                scratch_shapes=[
                     pltpu.VMEM((cc, f_bins * TILE), dtype),
-                ] + dma_scratch,
+                ],
             ),
             out_shape=[
                 jax.ShapeDtypeStruct((g_dim, c_pad, w), dtype),
                 jax.ShapeDtypeStruct((mult, c_pad, f_bins), jnp.float32),
             ],
             interpret=jax.default_backend() != "tpu",
-        )(used, sblk, packed, fw, filt_rcf, inv, dout)
+        )(used, packed, filt_rcf, inv, dout, s_st)
         dfw = jnp.swapaxes(dfw_t, 1, 2)              # (g, W, C_pad)
         if nbt:
             batch = g_dim // n_t
@@ -725,15 +787,14 @@ def _dense_conv_for(w: int, wch: int, f_bins: int, mult: int, c_pad: int,
 
     @jax.custom_vjp
     def f(used, sblk, packed, fw, filt_rcf, inv):
-        return fwd_impl(used, sblk, packed, fw, filt_rcf, inv)
+        out, _ = fwd_impl(used, sblk, packed, fw, filt_rcf, inv, False)
+        return out
 
-    f.defvjp(
-        lambda used, sblk, packed, fw, filt_rcf, inv: (
-            fwd_impl(used, sblk, packed, fw, filt_rcf, inv),
-            (used, sblk, packed, fw, filt_rcf, inv),
-        ),
-        bwd,
-    )
+    def fwd_rule(used, sblk, packed, fw, filt_rcf, inv):
+        out, s_st = fwd_impl(used, sblk, packed, fw, filt_rcf, inv, True)
+        return out, (used, sblk, packed, filt_rcf, inv, s_st)
+
+    f.defvjp(fwd_rule, bwd)
     return f
 
 
@@ -767,12 +828,18 @@ def _rm_fw(fw_ref, rest, sblk_ref, n_t, nbt):
 
 def _dense_conv_rm_fwd_kernel(
     sblk_ref, packed_ref, fw_ref, filt_ref, out_ref, *rest, n_t, nbt,
+    stash=False,
 ):
     """out[t, r*C + c] = (sum_w sum_f [packed==f+1] fw[w,c] filt[r,f,c])
-    for one (tile, row-chunk); the neighbor mean is applied outside."""
+    for one (tile, row-chunk); the neighbor mean is applied outside.
+    ``stash=True`` (VJP forward) also emits S (F, tc, C) so the backward
+    skips its recompute dot AND the window read (see the transposed
+    kernel)."""
     packed = packed_ref[0].astype(_A_CMP_DTYPE)   # (tc, W)
     tc, w = packed.shape
     mult, f_bins, c = filt_ref.shape
+    if stash:
+        sout_ref, *rest = rest
     fw, _ = _rm_fw(fw_ref, rest, sblk_ref, n_t, nbt)
     f_iota = lax.broadcasted_iota(_A_CMP_DTYPE, (f_bins, tc, w), 0)
     a = (packed[None, :, :] == f_iota + jnp.asarray(1, _A_CMP_DTYPE)).reshape(
@@ -781,6 +848,8 @@ def _dense_conv_rm_fwd_kernel(
     s = jnp.dot(
         a, fw, preferred_element_type=jnp.float32
     ).reshape(f_bins, tc, c)                       # f32
+    if stash:
+        sout_ref[0] = s.astype(sout_ref.dtype)
     outs = []
     for r in range(mult):
         f_r = filt_ref[r].astype(jnp.float32)      # (F, C)
@@ -789,24 +858,20 @@ def _dense_conv_rm_fwd_kernel(
 
 
 def _dense_conv_rm_bwd_kernel(
-    sblk_ref, packed_ref, fw_ref, filt_ref, dout_ref, dfw_ref, dfilt_ref,
-    *rest, n_t, nbt,
+    sblk_ref, packed_ref, filt_ref, dout_ref, sin_ref, dfw_ref, dfilt_ref,
 ):
-    """Recomputes S per chunk (A never stored), then:
+    """S comes from the forward's stash (no recompute, no window read):
     dfilt[r,f,c] += sum_t S[f,t,c] dout[t, r*C+c]  (accumulated all steps)
     dfw[w,c]     += sum_(f,t) A[(f,t),w] dS[(f,t),c],
     with dS[f,t,c] = sum_r filt[r,f,c] dout[t, r*C+c]."""
     packed = packed_ref[0].astype(_A_CMP_DTYPE)
     tc, w = packed.shape
     mult, f_bins, c = filt_ref.shape
-    fw, _ = _rm_fw(fw_ref, rest, sblk_ref, n_t, nbt)
     f_iota = lax.broadcasted_iota(_A_CMP_DTYPE, (f_bins, tc, w), 0)
     a = (packed[None, :, :] == f_iota + jnp.asarray(1, _A_CMP_DTYPE)).reshape(
         f_bins * tc, w
     ).astype(filt_ref.dtype)
-    s = jnp.dot(
-        a, fw, preferred_element_type=jnp.float32
-    ).reshape(f_bins, tc, c)
+    s = sin_ref[0].astype(jnp.float32)             # (F, tc, C)
 
     @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
     def _():
@@ -862,10 +927,24 @@ def _dense_conv_rm_for(w: int, f_bins: int, mult: int, dtype_name: str,
                                memory_space=pltpu.VMEM)
         dma_scratch = []
 
-    def fwd_impl(sblk, packed, fw, filt_rfc):
+    def fwd_impl(sblk, packed, fw, filt_rfc, stash: bool):
         g_dim, t, _ = packed.shape
-        return pl.pallas_call(
-            functools.partial(_dense_conv_rm_fwd_kernel, **kparams),
+        out_specs = [pl.BlockSpec(
+            (1, tc, mult * c), lambda i, j, s: (i, j, 0),
+            memory_space=pltpu.VMEM,
+        )]
+        out_shape = [jax.ShapeDtypeStruct((g_dim, t, mult * c), dtype)]
+        if stash:
+            out_specs.append(pl.BlockSpec(
+                (1, f_bins, tc, c), lambda i, j, s: (i, 0, j, 0),
+                memory_space=pltpu.VMEM,
+            ))
+            out_shape.append(jax.ShapeDtypeStruct(
+                (g_dim, f_bins, t, c), dtype
+            ))
+        res = pl.pallas_call(
+            functools.partial(_dense_conv_rm_fwd_kernel, stash=stash,
+                              **kparams),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(g_dim, t // tc),
@@ -876,31 +955,31 @@ def _dense_conv_rm_for(w: int, f_bins: int, mult: int, dtype_name: str,
                     pl.BlockSpec((mult, f_bins, c), lambda i, j, s: (0, 0, 0),
                                  memory_space=pltpu.VMEM),
                 ],
-                out_specs=pl.BlockSpec(
-                    (1, tc, mult * c), lambda i, j, s: (i, j, 0),
-                    memory_space=pltpu.VMEM,
-                ),
+                out_specs=out_specs if stash else out_specs[0],
                 scratch_shapes=dma_scratch,
             ),
-            out_shape=jax.ShapeDtypeStruct((g_dim, t, mult * c), dtype),
+            out_shape=out_shape if stash else out_shape[0],
             interpret=jax.default_backend() != "tpu",
         )(sblk, packed, fw, filt_rfc)
+        return res if stash else (res, None)
 
     def bwd(res, dout):
-        sblk, packed, fw, filt_rfc = res
+        sblk, packed, filt_rfc, s_st = res
         g_dim, t, _ = packed.shape
         dfw, dfilt = pl.pallas_call(
-            functools.partial(_dense_conv_rm_bwd_kernel, **kparams),
+            _dense_conv_rm_bwd_kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(g_dim, t // tc),
                 in_specs=[
                     pl.BlockSpec((1, tc, w), lambda i, j, s: (i, j, 0),
                                  memory_space=pltpu.VMEM),
-                    fw_spec,
                     pl.BlockSpec((mult, f_bins, c), lambda i, j, s: (0, 0, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((1, tc, mult * c), lambda i, j, s: (i, j, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, f_bins, tc, c),
+                                 lambda i, j, s: (i, 0, j, 0),
                                  memory_space=pltpu.VMEM),
                 ],
                 out_specs=[
@@ -909,14 +988,13 @@ def _dense_conv_rm_for(w: int, f_bins: int, mult: int, dtype_name: str,
                     pl.BlockSpec((mult, f_bins, c), lambda i, j, s: (0, 0, 0),
                                  memory_space=pltpu.VMEM),
                 ],
-                scratch_shapes=dma_scratch,
             ),
             out_shape=[
                 jax.ShapeDtypeStruct((g_dim, w, c), dtype),
                 jax.ShapeDtypeStruct((mult, f_bins, c), jnp.float32),
             ],
             interpret=jax.default_backend() != "tpu",
-        )(sblk, packed, fw, filt_rfc, dout)
+        )(sblk, packed, filt_rfc, dout, s_st)
         if nbt:
             batch = g_dim // n_t
             dfw = _window_scatter(
@@ -933,15 +1011,14 @@ def _dense_conv_rm_for(w: int, f_bins: int, mult: int, dtype_name: str,
 
     @jax.custom_vjp
     def f(sblk, packed, fw, filt_rfc):
-        return fwd_impl(sblk, packed, fw, filt_rfc)
+        out, _ = fwd_impl(sblk, packed, fw, filt_rfc, False)
+        return out
 
-    f.defvjp(
-        lambda sblk, packed, fw, filt_rfc: (
-            fwd_impl(sblk, packed, fw, filt_rfc),
-            (sblk, packed, fw, filt_rfc),
-        ),
-        bwd,
-    )
+    def fwd_rule(sblk, packed, fw, filt_rfc):
+        out, s_st = fwd_impl(sblk, packed, fw, filt_rfc, True)
+        return out, (sblk, packed, filt_rfc, s_st)
+
+    f.defvjp(fwd_rule, bwd)
     return f
 
 
@@ -995,6 +1072,11 @@ def dense_depthwise_conv3d(
     m_pad = n_t * TILE
     num_out = dnbh.num_query
     compute_dtype = inputs.dtype
+    _record_cost(
+        "conv", g=batch * n_t, w=w, c=c_in, f=f_bins, mult=mult,
+        dma=_dma_ok(c_in), pointwise=0 if pointwise is None
+        else pointwise.shape[-1],
+    )
 
     # The neighbor mean (ref tf_conv3d_gpu.cu:25) commutes with the linear
     # bin contraction; it is fused into the kernels as a per-row scale.
@@ -1649,6 +1731,10 @@ def dense_max_pool3d(
     n_t = dnbh.s_blk.shape[1]
     m_pad = n_t * TILE
     num_out = dnbh.num_query
+    _record_cost(
+        "max_pool", g=batch * n_t, w=w, c=c, k=dnbh.k_max,
+        dma=_dma_ok(c),
+    )
 
     if (
         not with_index                    # arg is a K-space rank here
@@ -1724,6 +1810,10 @@ def _masked_mean_matmul(inputs, dnbh, weights=None):
     m_pad = n_t * TILE
     num_out = dnbh.num_query
     compute_dtype = inputs.dtype
+    _record_cost(
+        "masked_mean", g=batch * n_t, w=w, c=inputs.shape[-1],
+        weighted=weights is not None,
+    )
     precision = (
         lax.Precision.DEFAULT
         if compute_dtype == jnp.bfloat16
