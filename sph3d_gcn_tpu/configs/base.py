@@ -93,6 +93,15 @@ class SPH3DConfig:
     # point_axis by the step factories; GSPMD data parallelism (mesh=
     # without point_axis) does NOT use this.
     data_axis: str | None = None
+    # Halo width multiplier for the INTER-level (pool/unpool) halo
+    # exchanges under point-axis sharding. Intra-level halos are provably
+    # sufficient at 1x (a self-graph window always contains the tile's own
+    # rows); inter-level windows live in the OTHER cloud's row coordinates,
+    # where a skewed point distribution can push a window past the 1x halo
+    # (reported per step as halo_ok=False). fit() retries such batches
+    # with a 2x-halo clone of the step before dropping to the unsharded
+    # classic engine (StepFactory.halo_widened).
+    halo_scale: int = 1
 
     @property
     def dtype(self):

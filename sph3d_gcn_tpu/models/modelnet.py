@@ -77,7 +77,7 @@ class SPH3DModelNet(fnn.Module):
             from sph3d_gcn_tpu.ops.dense import TILE
             from sph3d_gcn_tpu.parallel.spatial import (
                 all_rows,
-                localize_tiles,
+                local_neighborhood,
                 shardable_rows,
                 slice_rows_local,
             )
@@ -100,6 +100,7 @@ class SPH3DModelNet(fnn.Module):
 
         global_feat = []
         dense_ok = jnp.bool_(True)
+        halo_ok = jnp.bool_(True)  # see SegEncoderDecoder: halo certificate
         for level in range(len(cfg.radius)):
             if cfg.use_raw:
                 xyz_rows = slice_rows_local(xyz, axis) if cur_sh else xyz
@@ -109,6 +110,8 @@ class SPH3DModelNet(fnn.Module):
             if sample_key is not None:
                 key = jax.random.fold_in(sample_key, level)
             if cfg.dense_graph:
+                # sharded query build: only this shard's tiles (see
+                # SegEncoderDecoder; FPS stays replicated)
                 nbh, sample_idx = build_graph_dense(
                     xyz,
                     cfg.radius[level],
@@ -118,14 +121,16 @@ class SPH3DModelNet(fnn.Module):
                     key=key,
                     kernel=cfg.kernel,
                     window=cfg.enc_window(level),
+                    query_shard=(axis, shards) if cur_sh else None,
                 )
                 halo_b = 0
                 if cur_sh:
                     halo_b = nbh.window // TILE
-                    nbh, _ = localize_tiles(
+                    nbh, h_ok = local_neighborhood(
                         nbh, axis, halo_b,
                         (xyz.shape[1] // TILE) // shards,
                     )
+                    halo_ok &= h_ok
                 dense_ok &= nbh.ok
                 filt_idx = None
             else:
@@ -156,22 +161,26 @@ class SPH3DModelNet(fnn.Module):
                     # build_graph_dense returns sorted indices: the coarse
                     # cloud stays axis-sorted for the next dense level.
                     xyz_coarse = gather_points(xyz, sample_idx)
+                    nxt_sh = _sh(xyz_coarse.shape[1])
                     inter = build_pool_graph_dense(
                         xyz, xyz_coarse, cfg.radius[level],
                         cfg.nn_uplimit[level],
                         window=cfg.pool_window(level),
+                        query_shard=(axis, shards) if nxt_sh else None,
                     )
-                    nxt_sh = _sh(xyz_coarse.shape[1])
                     if cur_sh and nxt_sh:
                         from sph3d_gcn_tpu.parallel.spatial import (
                             halo_exchange,
                         )
 
-                        halo_b = inter.window // TILE
-                        inter, _ = localize_tiles(
+                        # inter-level halos scale with cfg.halo_scale
+                        # (skewed clouds can breach 1x; see halo_ok)
+                        halo_b = (inter.window // TILE) * cfg.halo_scale
+                        inter, h_ok = local_neighborhood(
                             inter, axis, halo_b,
                             (xyz.shape[1] // TILE) // shards,
                         )
+                        halo_ok &= h_ok
                         dense_ok &= inter.ok
                         net = pool3d(
                             halo_exchange(net, halo_b * TILE, axis),
@@ -183,11 +192,9 @@ class SPH3DModelNet(fnn.Module):
                             all_rows(net, axis), inter,
                             method=cfg.pool_method,
                         )
-                    elif nxt_sh:
-                        inter, _ = localize_tiles(inter, axis, None)
-                        dense_ok &= inter.ok
-                        net = pool3d(net, inter, method=cfg.pool_method)
                     else:
+                        # nxt_sh: shard-local tiles, full-coordinate
+                        # windows straight from the sharded build
                         dense_ok &= inter.ok
                         net = pool3d(net, inter, method=cfg.pool_method)
                     xyz = xyz_coarse
@@ -229,6 +236,10 @@ class SPH3DModelNet(fnn.Module):
                 dense_ok = lax.pmin(
                     dense_ok.astype(jnp.int32), axis
                 ).astype(bool)
+                halo_ok = lax.pmin(
+                    halo_ok.astype(jnp.int32), axis
+                ).astype(bool)
+                self.sow("intermediates", "halo_ok", halo_ok)
             self.sow("intermediates", "dense_ok", dense_ok)
 
         # Global feature: all remaining points -> centroid query

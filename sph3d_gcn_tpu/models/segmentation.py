@@ -105,7 +105,7 @@ class SegEncoderDecoder(fnn.Module):
             from sph3d_gcn_tpu.parallel.spatial import (
                 all_rows,
                 halo_exchange,
-                localize_tiles,
+                local_neighborhood,
                 shardable_rows,
                 slice_rows_local,
             )
@@ -133,11 +133,22 @@ class SegEncoderDecoder(fnn.Module):
 
         # ---------------- Encoder (ref SPH3D_s3dis.py:53-77) ----------------
         dense_ok = jnp.bool_(True)
+        # halo certificate (point sharding only): True iff every rebased
+        # window fit inside its halo (localize_tiles' shard_ok). A False
+        # here with window coverage intact is recoverable by widening the
+        # inter-level halos (cfg.halo_scale); fit() retries before falling
+        # back to the unsharded classic engine.
+        halo_ok = jnp.bool_(True)
         for level in range(num_levels):
             key = None
             if sample_key is not None:
                 key = jax.random.fold_in(sample_key, level)
             if cfg.dense_graph:
+                # Under point sharding the query build itself shards:
+                # only THIS shard's tiles are computed (query_shard), so
+                # query device time scales 1/d instead of running
+                # replicated (FPS stays replicated — a sequential global
+                # greedy on coordinates, see build_graph_dense).
                 nbh, sample_idx = build_graph_dense(
                     xyz,
                     cfg.radius[level],
@@ -147,6 +158,7 @@ class SegEncoderDecoder(fnn.Module):
                     key=key,
                     kernel=cfg.kernel,
                     window=cfg.enc_window(level),
+                    query_shard=(axis, shards) if cur_sh else None,
                 )
                 halo_b = 0
                 if cur_sh:
@@ -154,10 +166,11 @@ class SegEncoderDecoder(fnn.Module):
                     # covers every tile's slab (windows start at or
                     # before the tile's own rows)
                     halo_b = nbh.window // TILE
-                    nbh, _ = localize_tiles(
+                    nbh, h_ok = local_neighborhood(
                         nbh, axis, halo_b,
                         (xyz.shape[1] // TILE) // shards,
                     )
+                    halo_ok &= h_ok
                 dense_ok &= nbh.ok
                 filt_idx = None
             else:
@@ -189,21 +202,25 @@ class SegEncoderDecoder(fnn.Module):
                     # build_graph_dense returns sorted indices: the coarse
                     # cloud stays axis-sorted for the next dense level.
                     xyz_coarse = gather_points(xyz, sample_idx)
+                    nxt_sh = _sh(xyz_coarse.shape[1])
                     inter = build_pool_graph_dense(
                         xyz, xyz_coarse, cfg.radius[level],
                         cfg.nn_uplimit[level],
                         window=cfg.pool_window(level),
+                        query_shard=(axis, shards) if nxt_sh else None,
                     )
-                    nxt_sh = _sh(xyz_coarse.shape[1])
                     if cur_sh and nxt_sh:
                         # coarse tiles and fine rows both sharded: the
                         # fine halo covers the pool windows (certified
-                        # through DenseNeighborhood.ok by localize_tiles)
-                        halo_b = inter.window // TILE
-                        inter, _ = localize_tiles(
+                        # through DenseNeighborhood.ok; inter-level halos
+                        # scale with cfg.halo_scale — skewed distributions
+                        # can breach 1x, see halo_ok)
+                        halo_b = (inter.window // TILE) * cfg.halo_scale
+                        inter, h_ok = local_neighborhood(
                             inter, axis, halo_b,
                             (xyz.shape[1] // TILE) // shards,
                         )
+                        halo_ok &= h_ok
                         dense_ok &= inter.ok
                         net = pool3d(
                             halo_exchange(net, halo_b * TILE, axis),
@@ -217,11 +234,9 @@ class SegEncoderDecoder(fnn.Module):
                             all_rows(net, axis), inter,
                             method=cfg.pool_method,
                         )
-                    elif nxt_sh:
-                        inter, _ = localize_tiles(inter, axis, None)
-                        dense_ok &= inter.ok
-                        net = pool3d(net, inter, method=cfg.pool_method)
                     else:
+                        # nxt_sh: tiles came back shard-local from the
+                        # build with s_blk in full (replicated-db) coords
                         dense_ok &= inter.ok
                         net = pool3d(net, inter, method=cfg.pool_method)
                     xyz = xyz_coarse
@@ -263,14 +278,17 @@ class SegEncoderDecoder(fnn.Module):
                     need_dist=cfg.unpool_method == "weighted",
                     dec_margin=cfg.dec_margin,
                     growth_steps=cfg.growth_steps,
+                    intra_shard=(axis, shards) if cur_sh else None,
+                    inter_shard=(axis, shards) if fine_sh else None,
                 )
                 halo_b = 0
                 if cur_sh:
                     halo_b = intra.window // TILE
-                    intra, _ = localize_tiles(
+                    intra, h_ok = local_neighborhood(
                         intra, axis, halo_b,
                         (xyz_coarse.shape[1] // TILE) // shards,
                     )
+                    halo_ok &= h_ok
                 dense_ok &= intra.ok
                 filt_idx = None
             else:
@@ -296,21 +314,23 @@ class SegEncoderDecoder(fnn.Module):
                 )
             elif cur_sh and fine_sh:
                 # fine query tiles and coarse rows both sharded: the
-                # coarse halo covers the unpool windows
-                halo_b = inter.window // TILE
-                inter, _ = localize_tiles(
+                # coarse halo covers the unpool windows (scaled by
+                # cfg.halo_scale, see halo_ok above)
+                halo_b = (inter.window // TILE) * cfg.halo_scale
+                inter, h_ok = local_neighborhood(
                     inter, axis, halo_b,
                     (xyz_coarse.shape[1] // TILE) // shards,
                 )
+                halo_ok &= h_ok
                 dense_ok &= inter.ok
                 net = unpool3d(
                     halo_exchange(net, halo_b * TILE, axis), inter,
                     method=cfg.unpool_method,
                 )
             elif fine_sh:
-                # replicated coarse rows feed sharded fine tiles: slice
-                # the query tiles only, windows stay in full coordinates
-                inter, _ = localize_tiles(inter, axis, None)
+                # replicated coarse rows feed sharded fine tiles: the
+                # build returned this shard's tiles with windows in full
+                # (replicated-db) coordinates — nothing to rebase
                 dense_ok &= inter.ok
                 net = unpool3d(net, inter, method=cfg.unpool_method)
             elif cur_sh:
@@ -333,6 +353,10 @@ class SegEncoderDecoder(fnn.Module):
                 dense_ok = lax.pmin(
                     dense_ok.astype(jnp.int32), axis
                 ).astype(bool)
+                halo_ok = lax.pmin(
+                    halo_ok.astype(jnp.int32), axis
+                ).astype(bool)
+                self.sow("intermediates", "halo_ok", halo_ok)
             self.sow("intermediates", "dense_ok", dense_ok)
 
         if self.include_input_skip:

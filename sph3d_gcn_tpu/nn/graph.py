@@ -105,6 +105,7 @@ def build_graph_dense(
     key: jax.Array | None = None,
     kernel: tuple[int, int, int] = (8, 2, 2),
     window: int = 1024,
+    query_shard: tuple[str, int] | None = None,
 ) -> tuple[DenseNeighborhood, jax.Array | None]:
     """Dense-map counterpart of :func:`build_graph` (fast mode).
 
@@ -112,13 +113,24 @@ def build_graph_dense(
     probabilities — see ops/dense.py) but no per-edge index lists; the
     subsample indices come back SORTED so coarser levels stay axis-sorted.
 
+    ``query_shard`` (point-axis sharding, inside shard_map) computes only
+    this shard's query tiles — see ops/dense.build_dense_graph. The
+    SAMPLING stays replicated: FPS is a sequential global greedy over the
+    whole cloud (ref tf_sample_gpu.cu:16-67) and its indices are needed by
+    every shard; it is O(N·S) on coordinates only.
+
     Returns:
       (DenseNeighborhood, sample_index (B, S) int32 or None).
     """
     need_dist = sample_method == "IDS" and num_sample is not None
+    if query_shard is not None and sample_method == "IDS":
+        raise ValueError(
+            "IDS sampling needs the full per-point density map and is not "
+            "supported with a tile-sharded graph build (use FPS/random)"
+        )
     dnbh = build_dense_graph(
         xyz, xyz, radius, nn_uplimit, kernel, window=window,
-        self_graph=True, need_dist=need_dist,
+        self_graph=True, need_dist=need_dist, query_shard=query_shard,
     )
     if num_sample is None:
         return dnbh, None
@@ -145,17 +157,19 @@ def build_pool_graph_dense(
     radius: float,
     nn_uplimit: int,
     window: int,
+    query_shard: tuple[str, int] | None = None,
 ) -> DenseNeighborhood:
     """Dense pooling graph: the sampled points re-query the level cloud.
 
     Row-for-row identical to gathering the intra-level neighborhood at the
     sampled indices (selection is independent per query row), which is how
     the classic path builds the pooling graph (ref sph3gcn_util.py:28-49 +
-    the gather_nd coarsening in the models).
+    the gather_nd coarsening in the models). ``query_shard`` computes only
+    this shard's coarse query tiles (point-axis sharding).
     """
     return build_dense_graph(
         xyz, xyz_sampled, radius, nn_uplimit, None, window=window,
-        self_graph=False,
+        self_graph=False, query_shard=query_shard,
     )
 
 
@@ -169,6 +183,8 @@ def build_graph_deconv_dense(
     need_dist: bool = False,
     dec_margin: int = 384,
     growth_steps: int = 12,
+    intra_shard: tuple[str, int] | None = None,
+    inter_shard: tuple[str, int] | None = None,
 ) -> tuple[DenseNeighborhood, DenseNeighborhood]:
     """Dense counterpart of :func:`build_graph_deconv`: coarse intra maps
     plus fine->coarse inter maps for unpooling.
@@ -183,12 +199,13 @@ def build_graph_deconv_dense(
     """
     intra = build_dense_graph(
         xyz, xyz, radius, nn_uplimit, kernel, window=window,
-        self_graph=True,
+        self_graph=True, query_shard=intra_shard,
     )
     inter = build_dense_graph(
         xyz, xyz_unpool, radius, nn_uplimit, None,
         window=window + dec_margin,
         self_graph=False, need_dist=need_dist, growth_steps=growth_steps,
+        query_shard=inter_shard,
     )
     return intra, inter
 

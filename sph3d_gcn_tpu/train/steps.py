@@ -153,12 +153,19 @@ class StepFactory:
             new_stats = batch_stats
         # Window-coverage certificate of the dense edge engine: AND of every
         # 'dense_ok' flag the model sowed (True when dense mode is off).
+        # 'halo_ok' (point sharding only) separates halo breaches from
+        # window breaches: a halo-only violation is recoverable by a
+        # wider-halo re-run (halo_widened), window violations need the
+        # classic engine.
         ok = jnp.bool_(True)
+        h_ok = jnp.bool_(True)
         for path, leaf in jax.tree_util.tree_leaves_with_path(
             mutated.get("intermediates", {})
         ):
             if any(getattr(p, "key", None) == "dense_ok" for p in path):
                 ok &= leaf
+            if any(getattr(p, "key", None) == "halo_ok" for p in path):
+                h_ok &= leaf
         data_loss = self.loss_fn(logits, batch)
         total = data_loss
         if self.weight_decay is not None:
@@ -196,7 +203,26 @@ class StepFactory:
                 # report the GLOBAL data loss (the local one differs per
                 # batch shard); wd_part is replicated so this is exact
                 data_loss = total - wd_part
-        return total, (data_loss, logits, new_stats, ok)
+        return total, (data_loss, logits, new_stats, ok, h_ok)
+
+    def halo_widened(self, scale: int = 2) -> "StepFactory":
+        """A point-sharded StepFactory on the SAME parameters with the
+        inter-level halos widened ``scale``x (cfg.halo_scale).
+
+        The first recovery step for a halo-only violation (``halo_ok``
+        False, i.e. a skewed cloud pushed a pool/unpool window past the
+        1x halo): the re-run stays SHARDED — no single chip ever has to
+        hold the whole cloud — at the cost of wider halo exchanges.
+        Returns ``self`` unchanged when point sharding is off."""
+        if self.point_axis is None:
+            return self
+        cfg = self.model.config
+        new_cfg = dataclasses.replace(
+            cfg, halo_scale=max(cfg.halo_scale, 1) * scale
+        )
+        return dataclasses.replace(
+            self, model=self.model.clone(config=new_cfg)
+        )
 
     def classic_fallback(self) -> "StepFactory":
         """A StepFactory on the SAME parameters with the dense windowed
@@ -209,6 +235,15 @@ class StepFactory:
         replaced by the exact classic ops (the reference-parity engine,
         ref tf_nnquery_gpu.cu:30-60 never returns a wrong neighborhood).
         Param trees are identical across engines, so states interchange.
+
+        MEMORY BOUND: under point-axis sharding this fallback runs
+        UNSHARDED on one device (the classic engine has no row sharding),
+        so the whole cloud's activations must fit a single chip's HBM. At
+        the whole-scene point counts sp exists for that may not hold —
+        there, recover with ``halo_widened`` first (fit() does) and treat
+        a window violation as a configuration error (widen
+        SPH3DConfig.windows via scripts/measure_windows.py) rather than
+        relying on this path.
         """
         import dataclasses as _dc
 
@@ -278,7 +313,7 @@ class StepFactory:
         def step(state: TrainState, batch, rng):
             rng = jax.random.fold_in(rng, state.step)
             grad_fn = jax.value_and_grad(self._losses, has_aux=True)
-            (total, (data_loss, logits, new_stats, ok)), grads = grad_fn(
+            (total, (data_loss, logits, new_stats, ok, h_ok)), grads = grad_fn(
                 state.params, state.batch_stats, batch, rng, True
             )
             if self.point_axis is not None:
@@ -304,7 +339,7 @@ class StepFactory:
             )
             metrics = {
                 "loss": total, "data_loss": data_loss, "logits": logits,
-                "dense_ok": ok,
+                "dense_ok": ok, "halo_ok": h_ok,
             }
             return new_state, metrics
 
@@ -317,7 +352,7 @@ class StepFactory:
             )
             out_specs = (P(), {
                 "loss": P(), "data_loss": P(), "logits": batch_spec,
-                "dense_ok": P(),
+                "dense_ok": P(), "halo_ok": P(),
             })
             return jax.jit(
                 self._sp_shard_map(step, out_specs=out_specs),
@@ -333,7 +368,7 @@ class StepFactory:
             in_shardings=(rep, data, rep),
             out_shardings=(rep, {
                 "loss": rep, "data_loss": rep, "logits": data,
-                "dense_ok": rep,
+                "dense_ok": rep, "halo_ok": rep,
             }),
         )
 
@@ -385,11 +420,11 @@ class StepFactory:
         """Returns jitted (state, batch) -> (loss, logits)."""
 
         def step(state: TrainState, batch):
-            total, (data_loss, logits, _, ok) = self._losses(
+            total, (data_loss, logits, _, ok, h_ok) = self._losses(
                 state.params, state.batch_stats, batch, jax.random.key(0), False
             )
             out = {"loss": total, "data_loss": data_loss, "logits": logits,
-                   "dense_ok": ok}
+                   "dense_ok": ok, "halo_ok": h_ok}
             if self.item_loss_fn is not None:
                 out["item_loss"] = self.item_loss_fn(logits, batch)
             return out
@@ -401,7 +436,8 @@ class StepFactory:
                 P(self.data_axis) if self.data_axis is not None else P()
             )
             out_specs = {"loss": P(), "data_loss": P(),
-                         "logits": batch_spec, "dense_ok": P()}
+                         "logits": batch_spec, "dense_ok": P(),
+                         "halo_ok": P()}
             if self.item_loss_fn is not None:
                 out_specs["item_loss"] = batch_spec
             return jax.jit(self._sp_shard_map(
@@ -412,7 +448,7 @@ class StepFactory:
         rep = replicated(self.mesh)
         data = batch_sharding(self.mesh)
         out_sh = {"loss": rep, "data_loss": rep, "logits": data,
-                  "dense_ok": rep}
+                  "dense_ok": rep, "halo_ok": rep}
         if self.item_loss_fn is not None:
             out_sh["item_loss"] = data
         return jax.jit(

@@ -617,3 +617,102 @@ def test_composed_dp_sp_scene_seg_step_matches_unsharded():
             got, np.asarray(leaf, np.float32), rtol=1e-4, atol=1e-5,
             err_msg=jax.tree_util.keystr(path),
         )
+
+
+def test_halo_only_violation_recovers_with_wider_halo():
+    """The halo-retry contract (round-4 directive): a halo too small for
+    the windows flags shard_ok=False and produces clamped (wrong)
+    results; re-running SHARDED with the halo doubled recovers the exact
+    unsharded output — no single chip ever holds the whole cloud (the
+    classic fallback's memory bound, StepFactory.classic_fallback)."""
+    shards = 4
+    mesh = _points_mesh(shards)
+    rng = np.random.default_rng(9)
+    b, n, k, c = 1, 1024, 5, 6
+    w = 512
+    pts = jnp.array(_sorted_cloud(rng, b, n))
+    feats = jnp.array(rng.standard_normal((b, n, c)).astype(np.float32))
+    filt = jnp.array(
+        rng.standard_normal((F_BINS, c, 1)).astype(np.float32)
+    )
+    dnbh = build_dense_graph(
+        pts, pts, 0.25, k, KERNEL, window=w, self_graph=True
+    )
+    assert bool(dnbh.ok)
+    ref = dense_depthwise_conv3d(feats, filt, dnbh)
+    dnbh_p = pad_count_for_sharding(dnbh, shards)
+    n_t = dnbh_p.s_blk.shape[1]
+    n_local_blocks = n_t // shards
+
+    def run(halo_blocks):
+        f = _shard_op(
+            mesh, dnbh_p,
+            lambda fw, local: dense_depthwise_conv3d(fw, filt, local),
+            n_local_blocks, halo_blocks,
+        )
+        out, shard_ok = f(
+            feats, dnbh_p.packed, dnbh_p.s_blk, dnbh_p.count,
+            dnbh_p.dist, dnbh_p.ok,
+        )
+        return out, bool(jnp.all(shard_ok))
+
+    out1, ok1 = run(1)        # too narrow: windows breach the halo
+    assert not ok1
+    out2, ok2 = run(2)        # doubled: covers this cloud's windows
+    assert ok2
+    np.testing.assert_allclose(
+        np.asarray(out2)[:, : dnbh.num_query], np.asarray(ref),
+        rtol=2e-6, atol=2e-6,
+    )
+
+
+def test_halo_widened_factory_matches_unsharded():
+    """StepFactory.halo_widened doubles cfg.halo_scale and its (still
+    sharded) train step reproduces the unsharded loss; halo_ok is
+    reported in the metrics."""
+    import dataclasses
+
+    from sph3d_gcn_tpu.configs import SPH3DConfig
+    from sph3d_gcn_tpu.models import SPH3DSceneSeg
+    from sph3d_gcn_tpu.train import make_optimizer, segmentation_step_factory
+
+    n = 256
+    cfg = SPH3DConfig(
+        num_input=n, num_cls=5, mlp=8,
+        num_sample=(n // 2,), radius=(1.5,), nn_uplimit=(8,),
+        channels=((8, 8),), multiplier=((2, 2),), weight_decay=None,
+        spatial_sort=True, dense_graph=True, windows=(n,),
+        dec_windows=(n,), dec_margin=128, growth_steps=6,
+        point_axis="points",
+    )
+    mesh = _points_mesh(2)
+    tx = make_optimizer("adam", 1e-3)
+    fac = segmentation_step_factory(
+        SPH3DSceneSeg(cfg), tx, inner_masked=True,
+        mesh=mesh, point_axis="points",
+    )
+    wide = fac.halo_widened()
+    assert wide.model.config.halo_scale == 2
+
+    rng = np.random.default_rng(5)
+    batch = {
+        "points": rng.standard_normal((2, n, 9)).astype(np.float32),
+        "label": rng.integers(0, 5, (2, n)).astype(np.int32),
+        "inner_label": rng.integers(0, 2, (2, n)).astype(np.int32),
+    }
+    state = wide.init_state(jax.random.key(0), batch)
+    state_host = jax.tree.map(np.asarray, state)
+    _, m = wide.train_step(donate=False)(state, batch, jax.random.key(1))
+    assert bool(m["dense_ok"]) and bool(m["halo_ok"])
+
+    ref_fac = segmentation_step_factory(
+        SPH3DSceneSeg(dataclasses.replace(cfg, point_axis=None)),
+        tx, inner_masked=True,
+    )
+    ref_state = jax.device_put(state_host)
+    _, m_ref = ref_fac.train_step(donate=False)(
+        ref_state, batch, jax.random.key(1)
+    )
+    np.testing.assert_allclose(
+        float(m["loss"]), float(m_ref["loss"]), rtol=1e-5
+    )
