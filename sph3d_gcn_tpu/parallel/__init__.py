@@ -16,8 +16,10 @@ from sph3d_gcn_tpu.parallel.mesh import (
     DCN_AXIS,
     MODEL_AXIS,
     batch_sharding,
+    local_batch_size,
     make_mesh,
     make_multislice_mesh,
+    process_shard_files,
     replicated,
     shard_batch,
 )
@@ -35,8 +37,10 @@ __all__ = [
     "DCN_AXIS",
     "MODEL_AXIS",
     "batch_sharding",
+    "local_batch_size",
     "make_mesh",
     "make_multislice_mesh",
+    "process_shard_files",
     "replicated",
     "shard_batch",
 ]

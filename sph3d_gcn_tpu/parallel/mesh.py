@@ -77,6 +77,48 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a pytree of host arrays with the batch axis sharded over 'data'."""
+    """Place a pytree of host arrays with the batch axis sharded over 'data'.
+
+    Single-process: a plain ``device_put`` of the global batch. Multi-process
+    (``jax.process_count() > 1``, i.e. after ``jax.distributed.initialize``):
+    each host passes only its LOCAL slice of the global batch — the slice its
+    loader produced from its ``process_shard_files`` file shard — and the
+    global array is assembled with ``jax.make_array_from_process_local_data``
+    (no host ever materializes the full batch; the reference's feed_dict has
+    no analogue of this, SURVEY.md §2.7).
+    """
     sharding = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        batch,
+    )
+
+
+def process_shard_files(files, process_index: int | None = None,
+                        process_count: int | None = None):
+    """Split a file list across hosts: host i takes files[i::P], in order.
+
+    The multi-host data path: each process loads only its shard and feeds
+    ``shard_batch`` its local sub-batch. Single-process (the default here —
+    no multi-host hardware in this environment) returns the list unchanged.
+    Deterministic round-robin keeps every host's shard balanced within one
+    file and stable across restarts (checkpoint resume sees the same split).
+    """
+    p = jax.process_index() if process_index is None else process_index
+    n = jax.process_count() if process_count is None else process_count
+    if n <= 1:
+        return list(files)
+    return list(files)[p::n]
+
+
+def local_batch_size(global_batch_size: int) -> int:
+    """Per-process batch size for the multi-host data path."""
+    n = jax.process_count()
+    if global_batch_size % n:
+        raise ValueError(
+            f"global batch {global_batch_size} does not split over "
+            f"{n} processes"
+        )
+    return global_batch_size // n

@@ -106,12 +106,19 @@ def data_mesh(num_devices: int | None, batch_size: int):
 POINT_AXIS = "points"
 
 
-def points_mesh(point_devices: int | None):
-    """Build the ('points',) mesh for point-axis sharding, or None.
+def points_mesh(point_devices: int | None, num_devices: int | None = None):
+    """Build the mesh for point-axis sharding, or None.
 
-    Mutually exclusive with the data-parallel mesh for now: sp scales
-    the POINT count per chip, dp scales the batch; composing them on a
-    2D mesh is future work.
+    ``point_devices`` alone gives a 1D ('points',) mesh: the model shards
+    each cloud's rows with ICI halo exchanges (parallel/spatial.py).
+    Together with ``num_devices > 1`` it gives the composed dp x sp
+    ('data', 'points') 2D mesh — batch items shard over 'data', each
+    item's rows over 'points' (the composition the driver dryrun and
+    tests/test_spatial.py certify).
+
+    Returns (mesh, point_axis, data_axis) — axis names to pass to the
+    step factory and `SPH3DConfig`, or (None, None, None) when
+    ``point_devices`` is not set (plain dp uses `data_mesh` instead).
     """
     import jax
     import numpy as np
@@ -119,10 +126,20 @@ def points_mesh(point_devices: int | None):
     from jax.sharding import Mesh
 
     if not point_devices or point_devices <= 1:
-        return None
+        return None, None, None
+    dd = num_devices if num_devices and num_devices > 1 else 1
+    need = dd * point_devices
     devices = jax.devices()
-    if len(devices) < point_devices:
+    if len(devices) < need:
         raise ValueError(
-            f"--point_devices {point_devices} > {len(devices)} devices"
+            f"--num_devices {dd} x --point_devices {point_devices} = "
+            f"{need} > {len(devices)} devices"
         )
-    return Mesh(np.array(devices[:point_devices]), (POINT_AXIS,))
+    if dd == 1:
+        return (
+            Mesh(np.array(devices[:point_devices]), (POINT_AXIS,)),
+            POINT_AXIS,
+            None,
+        )
+    grid = np.array(devices[:need]).reshape(dd, point_devices)
+    return Mesh(grid, ("data", POINT_AXIS)), POINT_AXIS, "data"
