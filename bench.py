@@ -73,7 +73,7 @@ def _time_steps(step, state, batches, key) -> float:
     return sorted(times)[1]
 
 
-def bench_modelnet(jax) -> None:
+def bench_modelnet(jax, family: str = "plain") -> None:
     from sph3d_gcn_tpu.configs import modelnet_config
     from sph3d_gcn_tpu.models import SPH3DModelNet
     from sph3d_gcn_tpu.train import (
@@ -86,13 +86,16 @@ def bench_modelnet(jax) -> None:
     # per-cloud axis sorting and the dense windowed edge engine
     # (ops/dense.py) — numerically a layout + precision mode; exactness of
     # the window coverage is certified per-graph (DenseNeighborhood.ok)
-    # and asserted on every warmup step below. This benchmark runs the
-    # DEFAULT config: since round 3 the shipped windows are calibrated by
+    # and asserted on every warmup step below. Windows are calibrated by
     # scripts/measure_windows.py (8% margin over the measured worst slabs
-    # of this cloud family) — no bench-only narrowing. A violation on
-    # harder data is safe: fit()/eval re-run such batches through the
+    # of the cloud family) — no bench-only narrowing. family='plain'
+    # benches smooth ellipsoid surfaces on the plain-calibrated default
+    # config; family='hard' benches bump-modulated surfaces (the real-CAD
+    # proxy) on the hard-calibrated config variant, so both lines are
+    # certified-exact on their own cloud family. A violation on harder
+    # data is safe either way: fit()/eval re-run such batches through the
     # exact classic engine.
-    cfg = modelnet_config(fast=True, dense=True)
+    cfg = modelnet_config(fast=True, dense=True, family=family)
     model = SPH3DModelNet(cfg)
     sched = exponential_decay_lr(0.001, batch_size=BATCH_SIZE)
     tx = make_optimizer("adam", sched)
@@ -101,9 +104,15 @@ def bench_modelnet(jax) -> None:
     )
 
     rng = np.random.default_rng(0)
+    if family == "hard":
+        from scripts.measure_windows import bumpy_ellipsoids
+
+        make_clouds = bumpy_ellipsoids
+    else:
+        make_clouds = surface_clouds
     batches = [
         {
-            "points": surface_clouds(rng, BATCH_SIZE, cfg.num_input),
+            "points": make_clouds(rng, BATCH_SIZE, cfg.num_input),
             "label": rng.integers(0, cfg.num_cls, (BATCH_SIZE,)).astype(
                 np.int32
             ),
@@ -114,10 +123,12 @@ def bench_modelnet(jax) -> None:
     dt = _time_steps(factory.train_step(), state, batches, jax.random.key(1))
 
     points_per_sec = BATCH_SIZE * cfg.num_input / dt
+    tag = " [hard family]" if family == "hard" else ""
     print(
         json.dumps(
             {
-                "metric": "ModelNet40 cls train throughput (B=16, N=10000)",
+                "metric": "ModelNet40 cls train throughput "
+                          f"(B=16, N=10000){tag}",
                 "value": round(points_per_sec, 1),
                 "unit": "points/sec/chip",
                 "vs_baseline": round(
@@ -183,6 +194,9 @@ def main() -> None:
 
     bench_modelnet(jax)
     bench_s3dis(jax)
+    # hard-family line (round-4 directive #4): bump-modulated surfaces on
+    # the hard-calibrated window variant — the expected real-CAD number
+    bench_modelnet(jax, family="hard")
 
 
 if __name__ == "__main__":

@@ -24,12 +24,15 @@ def main():
                         help="force a jax backend (e.g. cpu); the environment's "
                              "sitecustomize may pre-register a TPU platform, so "
                              "env vars alone cannot override it")
+    parser.add_argument("--num_devices", type=int, default=None,
+                        help="shard eval batches over this many devices "
+                             "(the 12-vote forwards are embarrassingly "
+                             "parallel); default 1")
     args = parser.parse_args()
 
-    if args.platform:
-        import jax
+    from sph3d_gcn_tpu.train.cli import configure_backend, data_mesh
 
-        jax.config.update("jax_platforms", args.platform)
+    configure_backend(args.platform, args.num_devices)
 
     import jax
 
@@ -57,8 +60,12 @@ def main():
     # ref evaluate_modelnet.py:35-46).
     cfg = load_config_snapshot(args.log_dir)
     model = SPH3DModelNet(cfg)
+    mesh = data_mesh(args.num_devices, args.batch_size)
+    if mesh is not None:
+        print(f"eval data-parallel mesh: {mesh.devices.shape[0]} devices")
     factory = classification_step_factory(
-        model, make_optimizer("adam", 1e-3), weight_decay=cfg.weight_decay
+        model, make_optimizer("adam", 1e-3), weight_decay=cfg.weight_decay,
+        mesh=mesh,
     )
 
     test_files = [

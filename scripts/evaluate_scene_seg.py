@@ -43,12 +43,15 @@ def main():
                         help="force a jax backend (e.g. cpu); the environment's "
                              "sitecustomize may pre-register a TPU platform, so "
                              "env vars alone cannot override it")
+    parser.add_argument("--num_devices", type=int, default=None,
+                        help="shard eval batches over this many devices "
+                             "(coverage-vote forwards are embarrassingly "
+                             "parallel); default 1")
     args = parser.parse_args()
 
-    if args.platform:
-        import jax
+    from sph3d_gcn_tpu.train.cli import configure_backend, data_mesh
 
-        jax.config.update("jax_platforms", args.platform)
+    configure_backend(args.platform, args.num_devices)
 
     import jax
 
@@ -70,9 +73,13 @@ def main():
     model = (
         SPH3DRueMonge(cfg) if args.dataset == "ruemonge2014" else SPH3DSceneSeg(cfg)
     )
+    mesh = data_mesh(args.num_devices, args.batch_size)
+    if mesh is not None:
+        print(f"eval data-parallel mesh: {mesh.devices.shape[0]} devices")
     factory = segmentation_step_factory(
         model, make_optimizer("adam", 1e-3),
         inner_masked=args.dataset != "ruemonge2014",
+        mesh=mesh,
     )
 
     if args.dataset == "s3dis":

@@ -30,12 +30,15 @@ def main():
                         help="force a jax backend (e.g. cpu); the environment's "
                              "sitecustomize may pre-register a TPU platform, so "
                              "env vars alone cannot override it")
+    parser.add_argument("--num_devices", type=int, default=None,
+                        help="shard eval batches over this many devices "
+                             "(coverage-vote forwards are embarrassingly "
+                             "parallel); default 1")
     args = parser.parse_args()
 
-    if args.platform:
-        import jax
+    from sph3d_gcn_tpu.train.cli import configure_backend, data_mesh
 
-        jax.config.update("jax_platforms", args.platform)
+    configure_backend(args.platform, args.num_devices)
 
     import jax
 
@@ -77,8 +80,12 @@ def main():
         records = [r for r in records if r["cls_label"] == cat_id]
     print(f"evaluating {len(records)} shapes")
 
+    mesh = data_mesh(args.num_devices, args.batch_size)
+    if mesh is not None:
+        print(f"eval data-parallel mesh: {mesh.devices.shape[0]} devices")
     factory = segmentation_step_factory(
-        model, make_optimizer("adam", 1e-3), model_kwargs_keys=kwargs_keys
+        model, make_optimizer("adam", 1e-3), model_kwargs_keys=kwargs_keys,
+        mesh=mesh,
     )
     dummy = {
         "points": np.zeros((args.batch_size, cfg.num_input, 3), np.float32),

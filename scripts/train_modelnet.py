@@ -99,23 +99,25 @@ def main():
         args.learning_rate, args.batch_size, args.decay_step, args.decay_rate
     )
     tx = make_optimizer(args.optimizer, schedule, momentum=args.momentum)
-    point_axis = None
-    mesh = points_mesh(args.point_devices)
+    mesh, point_axis, data_axis = points_mesh(
+        args.point_devices, args.num_devices
+    )
     if mesh is not None:
         import dataclasses as _dc
 
-        point_axis = POINT_AXIS
-        cfg = _dc.replace(cfg, point_axis=point_axis)
+        cfg = _dc.replace(cfg, point_axis=point_axis, data_axis=data_axis)
         model = model.clone(config=cfg)
-        print(f"point-axis mesh: {mesh.devices.shape[0]} devices")
+        print(f"mesh axes {mesh.axis_names}: {mesh.devices.shape}")
     else:
         mesh = data_mesh(args.num_devices, args.batch_size)
         if mesh is not None:
             print(f"data-parallel mesh: {mesh.devices.shape[0]} devices")
     factory = classification_step_factory(
         model, tx, weight_decay=cfg.weight_decay, mesh=mesh,
-        point_axis=point_axis,
+        point_axis=point_axis, data_axis=data_axis,
     )
+
+    from sph3d_gcn_tpu.parallel import local_batch_size, process_shard_files
 
     train_files = [
         line.rstrip()
@@ -125,14 +127,16 @@ def main():
         line.rstrip()
         for line in open(os.path.join(args.data_dir, "test_files.txt"))
     ]
-    train_records = load_modelnet_records(train_files)
-    test_records = load_modelnet_records(test_files)
+    # multi-host: per-process file shards feed local sub-batches
+    train_records = load_modelnet_records(process_shard_files(train_files))
+    test_records = load_modelnet_records(process_shard_files(test_files))
+    local_bs = local_batch_size(args.batch_size)
     print(f"train: {len(train_records)} shapes, test: {len(test_records)}")
 
     def train_batches(epoch):
         rng = np.random.default_rng((args.seed, epoch))
         for batch in modelnet_batches(
-            train_records, args.batch_size, rng=rng, shuffle=True
+            train_records, local_bs, rng=rng, shuffle=True
         ):
             pts, label = modelnet_train_augment(
                 batch["points"], batch["label"], rng
@@ -140,7 +144,7 @@ def main():
             yield {"points": pts, "label": label}
 
     def eval_batches():
-        return modelnet_batches(test_records, args.batch_size, shuffle=False)
+        return modelnet_batches(test_records, local_bs, shuffle=False)
 
     fit(
         factory,

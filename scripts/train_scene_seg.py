@@ -139,30 +139,39 @@ def main():
         args.optimizer, schedule, momentum=args.momentum,
         adam_epsilon=args.adam_eps,
     )
-    point_axis = None
-    mesh = points_mesh(args.point_devices)
+    mesh, point_axis, data_axis = points_mesh(
+        args.point_devices, args.num_devices
+    )
     if mesh is not None:
         # point-axis sharding: the model shards rows over the mesh
-        # (requires the dense engine; see parallel/spatial.py)
+        # (requires the dense engine; see parallel/spatial.py). With
+        # --num_devices too, the composed dp x sp ('data', 'points') mesh
+        # also shards batch items.
         import dataclasses as _dc
 
-        point_axis = POINT_AXIS
-        cfg = _dc.replace(cfg, point_axis=point_axis)
+        cfg = _dc.replace(cfg, point_axis=point_axis, data_axis=data_axis)
         model = model.clone(config=cfg)
-        print(f"point-axis mesh: {mesh.devices.shape[0]} devices")
+        print(f"mesh axes {mesh.axis_names}: {mesh.devices.shape}")
     else:
         mesh = data_mesh(args.num_devices, args.batch_size)
         if mesh is not None:
             print(f"data-parallel mesh: {mesh.devices.shape[0]} devices")
     factory = segmentation_step_factory(
         model, tx, weight_decay=cfg.weight_decay, inner_masked=inner_masked,
-        mesh=mesh, point_axis=point_axis,
+        mesh=mesh, point_axis=point_axis, data_axis=data_axis,
     )
+
+    from sph3d_gcn_tpu.parallel import local_batch_size, process_shard_files
 
     train_files = [line.rstrip() for line in open(train_list)]
     if args.dataset == "ruemonge2014":
         train_files = list(np.tile(train_files, 100))  # ref :63
     test_files = [line.rstrip() for line in open(test_list)]
+    # multi-host: each process loads only its file shard and feeds local
+    # sub-batches; fit()/shard_batch assemble the global batch
+    train_files = process_shard_files(train_files)
+    test_files = process_shard_files(test_files)
+    local_bs = local_batch_size(args.batch_size)
     train_blocks = load_scene_blocks(train_files)
     test_blocks = load_scene_blocks(test_files)
     print(f"train blocks: {len(train_blocks)}, test blocks: {len(test_blocks)}")
@@ -170,7 +179,7 @@ def main():
     def train_batches(epoch):
         rng = np.random.default_rng((args.seed, epoch))
         for batch in scene_batches(
-            train_blocks, args.batch_size, cfg.num_input, rng, shuffle=True
+            train_blocks, local_bs, cfg.num_input, rng, shuffle=True
         ):
             pts, lbl, inner = augment(
                 batch["points"], batch["label"], batch["inner_label"], rng
@@ -183,7 +192,7 @@ def main():
     def eval_batches():
         rng = np.random.default_rng(12345)
         for batch in scene_batches(
-            test_blocks, args.batch_size, cfg.num_input, rng, shuffle=False
+            test_blocks, local_bs, cfg.num_input, rng, shuffle=False
         ):
             if not inner_masked:
                 batch.pop("inner_label", None)

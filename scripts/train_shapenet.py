@@ -139,15 +139,15 @@ def main():
         args.learning_rate, args.batch_size, decay_step, args.decay_rate
     )
     tx = make_optimizer(args.optimizer, schedule, momentum=args.momentum)
-    point_axis = None
-    mesh = points_mesh(args.point_devices)
+    mesh, point_axis, data_axis = points_mesh(
+        args.point_devices, args.num_devices
+    )
     if mesh is not None:
         import dataclasses as _dc
 
-        point_axis = POINT_AXIS
-        cfg = _dc.replace(cfg, point_axis=point_axis)
+        cfg = _dc.replace(cfg, point_axis=point_axis, data_axis=data_axis)
         model = model.clone(config=cfg)
-        print(f"point-axis mesh: {mesh.devices.shape[0]} devices")
+        print(f"mesh axes {mesh.axis_names}: {mesh.devices.shape}")
     else:
         mesh = data_mesh(args.num_devices, args.batch_size)
         if mesh is not None:
@@ -155,14 +155,20 @@ def main():
     factory = segmentation_step_factory(
         model, tx, weight_decay=cfg.weight_decay,
         model_kwargs_keys=("cls_label",) if args.onehot else (),
-        mesh=mesh, point_axis=point_axis,
+        mesh=mesh, point_axis=point_axis, data_axis=data_axis,
     )
+
+    from sph3d_gcn_tpu.parallel import local_batch_size, process_shard_files
+
+    # multi-host: shard the (rebalanced) record list per process
+    records = process_shard_files(records)
+    local_bs = local_batch_size(args.batch_size)
 
     def train_batches(epoch):
         rng = np.random.default_rng((args.seed, epoch))
         order = rng.permutation(len(records))
-        for start in range(0, len(order), args.batch_size):
-            sel = order[start : start + args.batch_size]
+        for start in range(0, len(order), local_bs):
+            sel = order[start : start + local_bs]
             pts = np.zeros((len(sel), cfg.num_input, 3), np.float32)
             lbl = np.zeros((len(sel), cfg.num_input), np.int32)
             cls = np.zeros((len(sel),), np.int32)

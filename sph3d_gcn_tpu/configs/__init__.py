@@ -44,9 +44,18 @@ def _fast_mode(
 
 
 def modelnet_config(
-    num_input: int = 10000, fast: bool = False, dense: bool = False
+    num_input: int = 10000, fast: bool = False, dense: bool = False,
+    family: str = "plain",
 ) -> SPH3DConfig:
-    """ref modelnet40_cls/modelnet_config.py:1-37."""
+    """ref modelnet40_cls/modelnet_config.py:1-37.
+
+    ``family`` selects the window calibration for fast/dense mode:
+    'plain' (default) is calibrated on smooth ellipsoid surfaces (the
+    benchmark generator); 'hard' on the bump-modulated family
+    (scripts/measure_windows.py --family hard — heavier surface detail,
+    the better proxy for real CAD scans). Wider windows trade throughput
+    for coverage headroom; an undersized window is SAFE either way
+    (dense_ok certificate + classic-engine fallback)."""
     num_sample = tuple(
         num_input // 4 ** (i + 1)
         for i in range(10)
@@ -74,20 +83,29 @@ def modelnet_config(
         global_multiplier=2,
     )
     if fast:
-        # Calibrated by scripts/measure_windows.py (--dataset modelnet
-        # --family plain --margin 0.08, round 3) on the unit-sphere
-        # surface family the benchmark and synthetic learning runs use;
-        # worst measured slabs 1322/809/525 (enc) and 1766/1185/625
-        # (pool). Real datasets with heavier surface detail should be
-        # recalibrated with the tool (--family hard measures a
-        # bump-modulated family: enc 2045 -> windows (2304, 1152, 640)).
+        # Calibrated by scripts/measure_windows.py (round 3/4, margin
+        # 0.08). 'plain': the unit-sphere surface family the benchmark
+        # and synthetic learning runs use (worst measured slabs
+        # 1322/809/525 enc, 1766/1185/625 pool). 'hard': bump-modulated
+        # ellipsoids (--family hard, round-4 run: enc 2304/1024/640,
+        # dec 640/512/256, margin 128, growth 2) — the real-CAD proxy.
         # Under-sized windows are SAFE: the per-step dense_ok certificate
         # flags them and fit()/eval transparently re-run those batches
         # through the exact classic engine.
-        cfg = _fast_mode(
-            cfg, (1536, 896, 640), dense=dense,
-            dec_windows=(640, 384, 256), dec_margin=128, growth_steps=2,
-        )
+        if family == "hard":
+            cfg = _fast_mode(
+                cfg, (2304, 1024, 640), dense=dense,
+                dec_windows=(640, 512, 256), dec_margin=128,
+                growth_steps=2,
+            )
+        elif family == "plain":
+            cfg = _fast_mode(
+                cfg, (1536, 896, 640), dense=dense,
+                dec_windows=(640, 384, 256), dec_margin=128,
+                growth_steps=2,
+            )
+        else:
+            raise ValueError(f"unknown window family {family!r}")
     return cfg
 
 

@@ -37,6 +37,17 @@ def checked_eval_step(factory):
     def run(state, batch):
         metrics = step(state, batch)
         if dense and not bool(metrics["dense_ok"]):
+            # halo-only violation under point sharding: retry SHARDED with
+            # 2x halos first (no single chip must hold the whole cloud;
+            # see StepFactory.classic_fallback's memory bound)
+            if factory.point_axis is not None and not bool(
+                metrics.get("halo_ok", True)
+            ):
+                if "halo" not in fb:
+                    fb["halo"] = factory.halo_widened().eval_step()
+                metrics = fb["halo"](state, batch)
+                if bool(metrics["dense_ok"]):
+                    return metrics
             if "step" not in fb:
                 print(
                     "dense window coverage violated at eval: compiling the "
