@@ -36,6 +36,13 @@ def _kernels() -> None:
 
     import sph3d_gcn_tpu.ops.dense as dense
 
+    if jax.devices()[0].platform != "tpu":
+        print(
+            "WARNING: not on a TPU — Pallas runs in INTERPRET mode here, "
+            "so this validates numerics only, NOT the Mosaic lowering",
+            flush=True,
+        )
+
     rng = np.random.default_rng(17)
     b, n, k = 2, 1000, 16
     kernel = (8, 2, 3)
@@ -72,22 +79,25 @@ def _kernels() -> None:
             )
             outs.append(np.asarray(val))
             outs.extend(np.asarray(g) for g in grads)
-        # rank pool (bf16 selection-only graph, n_cc == 1 DMA path)
+        # rank pool (bf16 selection-only graph): c=128 is the n_cc==1
+        # DMA path; 256/512 exercise the CHUNKED per-grid-cell lane-offset
+        # DMA (n_cc=2/4) that S3DIS's coarse pools run in production
         pnbh = dense.build_dense_graph(
             pts, pts[:, ::4], 0.35, 32, None, window=768
         )
         assert bool(pnbh.ok) and pnbh.k_max > 0
-        fp = jnp.array(
-            rng2.standard_normal((b, n, 128)).astype(np.float32)
-        ).astype(jnp.bfloat16)
+        for pc in (128, 256, 512):
+            fp = jnp.array(
+                rng2.standard_normal((b, n, pc)).astype(np.float32)
+            ).astype(jnp.bfloat16)
 
-        def ploss(f):
-            out, _ = dense.dense_max_pool3d(f, pnbh, with_index=False)
-            return jnp.sum(out.astype(jnp.float32))
+            def ploss(f):
+                out, _ = dense.dense_max_pool3d(f, pnbh, with_index=False)
+                return jnp.sum(out.astype(jnp.float32))
 
-        pv, pg = jax.jit(jax.value_and_grad(ploss))(fp)
-        outs.append(np.asarray(pv))
-        outs.append(np.asarray(pg, dtype=np.float32))
+            pv, pg = jax.jit(jax.value_and_grad(ploss))(fp)
+            outs.append(np.asarray(pv))
+            outs.append(np.asarray(pg, dtype=np.float32))
         return outs
 
     rng2 = np.random.default_rng(3)
@@ -104,6 +114,12 @@ def _kernels() -> None:
 
 
 def main() -> None:
+    if len(sys.argv) < 2:
+        raise SystemExit(
+            "usage: dma_ab.py kernels | {modelnet,s3dis} {0,1}\n"
+            "  kernels: on-chip value+grad parity of the DMA kernels\n"
+            "  modelnet/s3dis 0|1: bench with _DIRECT_WIN_DMA off|on"
+        )
     mode = sys.argv[1]
     if mode == "kernels":
         _kernels()

@@ -107,7 +107,13 @@ def main():
 
         cfg = _dc.replace(cfg, point_axis=point_axis, data_axis=data_axis)
         model = model.clone(config=cfg)
-        print(f"mesh axes {mesh.axis_names}: {mesh.devices.shape}")
+        if data_axis is not None:
+            print(
+                f"composed mesh: {mesh.devices.shape[0]} data x "
+                f"{mesh.devices.shape[1]} points devices"
+            )
+        else:
+            print(f"point-axis mesh: {mesh.devices.shape[0]} devices")
     else:
         mesh = data_mesh(args.num_devices, args.batch_size)
         if mesh is not None:

@@ -36,7 +36,9 @@ def configure_backend(
     """
     import jax
 
-    pool = max(num_devices or 1, point_devices or 1)
+    # composed dp x sp needs the PRODUCT: the ('data','points') mesh is
+    # num_devices x point_devices (points_mesh)
+    pool = (num_devices or 1) * (point_devices or 1)
     if platform:
         jax.config.update("jax_platforms", platform)
         if platform == "cpu" and pool > 1:
