@@ -61,7 +61,9 @@ def _kernels() -> None:
     def run(direct: bool):
         dense._DIRECT_WIN_DMA = direct
         outs = []
-        for c in (128, 256):  # transposed and row-major DMA kernels
+        # 35/64: lane-padded transposed-kernel DMA (C < 128 slabs pad to
+        # 128 lanes, kernels slice); 128: aligned transposed; 256: row-major
+        for c in (35, 64, 128, 256):
             feats = jnp.array(
                 rng2.standard_normal((b, n, c)).astype(np.float32)
             )
@@ -79,14 +81,15 @@ def _kernels() -> None:
             )
             outs.append(np.asarray(val))
             outs.extend(np.asarray(g) for g in grads)
-        # rank pool (bf16 selection-only graph): c=128 is the n_cc==1
-        # DMA path; 256/512 exercise the CHUNKED per-grid-cell lane-offset
-        # DMA (n_cc=2/4) that S3DIS's coarse pools run in production
+        # rank pool (bf16 selection-only graph): c=64 is the lane-padded
+        # n_cc==1 DMA path, c=128 the aligned one; 256/512 exercise the
+        # CHUNKED per-grid-cell lane-offset DMA (n_cc=2/4) that S3DIS's
+        # coarse pools run in production
         pnbh = dense.build_dense_graph(
             pts, pts[:, ::4], 0.35, 32, None, window=768
         )
         assert bool(pnbh.ok) and pnbh.k_max > 0
-        for pc in (128, 256, 512):
+        for pc in (64, 128, 256, 512):
             fp = jnp.array(
                 rng2.standard_normal((b, n, pc)).astype(np.float32)
             ).astype(jnp.bfloat16)

@@ -257,16 +257,22 @@ def roofline(ledger: list) -> dict:
     for r in ledger:
         g, w = r["g"], r.get("w", 0)
         c = r.get("c", 0)
+        c_dma = -(-c // 128) * 128  # DMA slabs are lane-padded (_dma_c)
         if r["kind"] == "conv":
             f, mult = r["f"], r["mult"]
-            # S/dfw one-hot matmuls: fwd 1, bwd 2 (S recompute + dfw)
-            mxu += 3 * g * c * f * t * w
+            # S/dfw one-hot matmuls: fwd S, bwd dfw (the VJP forward
+            # stashes S, so the backward never recomputes it)
+            mxu += 2 * g * c * f * t * w
             # A builds (compare + cast over (F, T, W)): fwd + bwd
             vpu += 2 * 2 * g * f * t * w
-            # window slab reads fwd + bwd (+ gather write/read when the
-            # materialized path is in use), packed map reads
-            slab = 2 * g * w * c
-            hbm += (2 if r["dma"] else 4) * slab + 2 * g * t * w
+            # window slab traffic: fwd read + bwd dfw write/read (the
+            # S-stash means no bwd window read on either feed; the
+            # materialized path pays the gather einsum round trip too),
+            # + packed map reads + the S stash write/read
+            slab_r = g * w * (c_dma if r["dma"] else c) * 2
+            slab_w = 2 * g * w * c * 2
+            hbm += slab_r + slab_w + (slab_r if not r["dma"] else 0)
+            hbm += 2 * g * t * w + 2 * g * f * t * c * 2
             if r["pointwise"]:
                 mxu += 3 * g * t * (c * mult) * r["pointwise"]
         elif r["kind"] == "max_pool":
@@ -274,8 +280,8 @@ def roofline(ledger: list) -> dict:
             # rank-compaction matmuls fwd + bwd
             mxu += 2 * g * k * t * w * c
             vpu += 2 * 2 * g * k * t * w
-            slab = 2 * g * w * c
-            hbm += (2 if r["dma"] else 4) * slab + 2 * g * t * w
+            slab_r = g * w * (c_dma if r["dma"] else c) * 2
+            hbm += slab_r + 2 * g * w * c * 2 + 2 * g * t * w
         elif r["kind"] == "masked_mean":
             mxu += 3 * g * t * w * c
             vpu += 2 * g * t * w

@@ -421,23 +421,38 @@ _A_CMP_DTYPE = jnp.int32  # flip to jnp.int8 to A/B the 4x-lane compare
 #
 # Mosaic constraint (measured on v5e): every dimension of a DMA'd
 # region must be tile-aligned — the (nbt, TILE, C) slab slice needs
-# C % 128 == 0 (lane tiling), so the path engages only for 128-multiple
-# channel widths (all S3DIS convs/pools past conv1; ModelNet's coarse
-# level). Narrower convs keep the materialized one-hot gather, which is
-# cheap exactly there. Interpret-mode parity for both feeds is covered
-# by tests/test_dense.py::test_dense_conv_pool_both_window_paths;
+# C % 128 == 0 (lane tiling). 128-multiple channel widths DMA the
+# blocked array as-is; NARROWER widths (32 <= C < 128: conv1/pool1 at
+# C = 64 — the most expensive level of both headline models — and
+# ModelNet's C=35 input conv) lane-pad the blocked feature array to 128
+# so the slab region stays tile-aligned, and the kernels slice the
+# zero lanes off after the DMA (offset-0 lane slices lower fine; the
+# matmuls keep their real-C shapes, so only slab HBM bytes grow). This
+# kills the one-hot gather einsum + its Pallas-layout relayout
+# (~2.5-3 ms per fine-level conv on the round-4 profile) where it is
+# most expensive. C < 32 keeps the cheap narrow-row gather (xyz
+# windows). Interpret-mode parity for both feeds is covered by
+# tests/test_dense.py::test_dense_conv_pool_both_window_paths;
 # on-chip parity + timing by scripts/dma_ab.py (v5e A/B: S3DIS 832.2k
 # -> 860.8k pts/s with the DMA feed, ModelNet neutral — default ON).
 _DIRECT_WIN_DMA = True
+_DMA_MIN_C = 32
 
 
 def _dma_ok(c: int) -> bool:
     """True when the blocked-feature slab is legal to DMA (see above)."""
-    return _DIRECT_WIN_DMA and c % 128 == 0
+    return _DIRECT_WIN_DMA and (c % 128 == 0 or c >= _DMA_MIN_C)
+
+
+def _dma_c(c: int) -> int:
+    """Lane width of the blocked feature array under the DMA feed."""
+    return _round_up(c, 128)
 
 
 def _blocked_feats(feats: jax.Array, wp: int, w: int) -> tuple[jax.Array, int]:
-    """(B, N, C) -> (B * nbt, TILE, C) zero-padded TILE-row blocks.
+    """(B, N, C) -> (B * nbt, TILE, C') zero-padded TILE-row blocks,
+    C' = ``_dma_c(C)`` (lanes zero-padded to a 128 multiple so the slab
+    DMA region stays tile-aligned; the kernels slice the pad lanes off).
 
     Rows are padded so a window DMA of ``wp`` rows starting at the last
     legal s_blk (= (n_pad - w)/TILE) stays in bounds; padding rows are
@@ -446,8 +461,8 @@ def _blocked_feats(feats: jax.Array, wp: int, w: int) -> tuple[jax.Array, int]:
     b, n, c = feats.shape
     n_pad = _round_up(n, TILE)
     rows = n_pad + (wp - w)
-    fb = jnp.pad(feats, ((0, 0), (0, rows - n), (0, 0)))
-    return fb.reshape(b * (rows // TILE), TILE, c), rows // TILE
+    fb = jnp.pad(feats, ((0, 0), (0, rows - n), (0, _dma_c(c) - c)))
+    return fb.reshape(b * (rows // TILE), TILE, _dma_c(c)), rows // TILE
 
 
 def _window_scatter(
@@ -457,7 +472,8 @@ def _window_scatter(
     cotangents (B, nT, Wp, C) scatter-added back to the TILE-row-blocked
     feature array (B*nbt, TILE, C) as one batched one-hot matmul (the
     backward of take-a-row is add-to-a-row; rides the MXU like the
-    forward would)."""
+    forward would). Output lanes are re-padded to ``_dma_c`` so the
+    cotangent matches the blocked array the forward consumed."""
     b, n_t, wp, c = dfw.shape
     nbw = wp // TILE
     ids = s_blk[..., None] + jnp.arange(nbw, dtype=jnp.int32)  # (B,nT,nbw)
@@ -476,7 +492,42 @@ def _window_scatter(
             else lax.Precision.HIGHEST
         ),
     ).astype(dfw.dtype)
-    return out.reshape(b * nbt, TILE, c)
+    out = out.reshape(b * nbt, TILE, c)
+    if _dma_c(c) != c:
+        out = jnp.pad(out, ((0, 0), (0, 0), (0, _dma_c(c) - c)))
+    return out
+
+
+def _window_scatter_t(
+    dfw_t: jax.Array, s_blk: jax.Array, nbt: int
+) -> jax.Array:
+    """As :func:`_window_scatter`, but takes the transposed conv kernel's
+    NATIVE (C, W) per-tile dfw orientation and folds the W<->C transpose
+    into the scatter contraction — the explicit ``swapaxes`` on the
+    (g, C, W) map cost ~1.2-1.4 ms per fine-level conv (round-4 profile).
+    out[b,k,t,c] = sum_{n,w} [s_blk[b,n] + w == k] dfw_t[b,n,c,w*T+t]."""
+    b, n_t, c, wp = dfw_t.shape
+    nbw = wp // TILE
+    ids = s_blk[..., None] + jnp.arange(nbw, dtype=jnp.int32)  # (B,nT,nbw)
+    onehot = (
+        ids[..., None] == jnp.arange(nbt, dtype=jnp.int32)
+    ).astype(dfw_t.dtype)                                      # (B,nT,nbw,K)
+    dfw5 = dfw_t.reshape(b, n_t, c, nbw, TILE)
+    out = jnp.einsum(
+        "bnwk,bncwt->bktc",
+        onehot,
+        dfw5,
+        preferred_element_type=jnp.float32,
+        precision=(
+            lax.Precision.DEFAULT
+            if dfw_t.dtype == jnp.bfloat16
+            else lax.Precision.HIGHEST
+        ),
+    ).astype(dfw_t.dtype)
+    out = out.reshape(b * nbt, TILE, c)
+    if _dma_c(c) != c:
+        out = jnp.pad(out, ((0, 0), (0, 0), (0, _dma_c(c) - c)))
+    return out
 
 
 def _conv_chunk_a(packed_ref, c, wch, f_bins, dtype):
@@ -536,7 +587,11 @@ def _dense_conv_fwd_kernel(
     def _fw_chunk(c):
         if nbt:
             wcb = wch // TILE
-            return fwin_scr[pl.ds(c * wcb, wcb)].reshape(wch, cc)
+            lanes = fwin_scr.shape[-1]
+            fwc = fwin_scr[pl.ds(c * wcb, wcb)].reshape(wch, lanes)
+            # lane-padded slab (C < 128): drop the zero pad lanes so the
+            # matmul keeps its real-C shape (offset-0 lane slice)
+            return fwc[:, :cc] if lanes != cc else fwc
         return fw_ref[0, pl.ds(c * wch, wch), :]
 
     def body(c, carry):
@@ -676,7 +731,7 @@ def _dense_conv_for(w: int, wch: int, f_bins: int, mult: int, c_pad: int,
     if nbt:
         fw_spec = pl.BlockSpec(memory_space=pl.ANY)
         dma_scratch = [
-            pltpu.VMEM((w // TILE, TILE, cc), dtype),
+            pltpu.VMEM((w // TILE, TILE, _dma_c(cc)), dtype),
             pltpu.SemaphoreType.DMA,
         ]
     else:
@@ -768,14 +823,15 @@ def _dense_conv_for(w: int, wch: int, f_bins: int, mult: int, c_pad: int,
             ],
             interpret=jax.default_backend() != "tpu",
         )(used, packed, filt_rcf, inv, dout, s_st)
-        dfw = jnp.swapaxes(dfw_t, 1, 2)              # (g, W, C_pad)
         if nbt:
             batch = g_dim // n_t
-            dfw = _window_scatter(
-                dfw.reshape(batch, n_t, w, c_pad),
+            dfw = _window_scatter_t(
+                dfw_t.reshape(batch, n_t, c_pad, w),
                 sblk.reshape(batch, n_t),
                 nbt,
             )
+        else:
+            dfw = jnp.swapaxes(dfw_t, 1, 2)          # (g, W, C_pad)
         return (
             jnp.zeros(used.shape, dtype=jax.dtypes.float0),
             jnp.zeros(sblk.shape, dtype=jax.dtypes.float0),
@@ -822,8 +878,9 @@ def _rm_fw(fw_ref, rest, sblk_ref, n_t, nbt):
         dma.start()
         dma.wait()
 
-    nbw, _, c = fwin_scr.shape
-    return fwin_scr[...].reshape(nbw * TILE, c), None
+    nbw, _, lanes = fwin_scr.shape
+    fw = fwin_scr[...].reshape(nbw * TILE, lanes)
+    return fw, None
 
 
 def _dense_conv_rm_fwd_kernel(
@@ -841,6 +898,8 @@ def _dense_conv_rm_fwd_kernel(
     if stash:
         sout_ref, *rest = rest
     fw, _ = _rm_fw(fw_ref, rest, sblk_ref, n_t, nbt)
+    if fw.shape[-1] != c:          # lane-padded DMA slab: drop pad lanes
+        fw = fw[:, :c]
     f_iota = lax.broadcasted_iota(_A_CMP_DTYPE, (f_bins, tc, w), 0)
     a = (packed[None, :, :] == f_iota + jnp.asarray(1, _A_CMP_DTYPE)).reshape(
         f_bins * tc, w
@@ -919,7 +978,7 @@ def _dense_conv_rm_for(w: int, f_bins: int, mult: int, dtype_name: str,
     if nbt:
         fw_spec = pl.BlockSpec(memory_space=pl.ANY)
         dma_scratch = [
-            pltpu.VMEM((w // TILE, TILE, c), dtype),
+            pltpu.VMEM((w // TILE, TILE, _dma_c(c)), dtype),
             pltpu.SemaphoreType.DMA,
         ]
     else:
@@ -1402,7 +1461,9 @@ def _rank_pool_fwd_kernel(
         if nbt:
             wcb = wch // TILE
             cc_w = fwin_scr.shape[2]
-            return fwin_scr[pl.ds(c * wcb, wcb)].reshape(wch, cc_w)
+            fwc = fwin_scr[pl.ds(c * wcb, wcb)].reshape(wch, cc_w)
+            # lane-padded slab (C < 128): drop the zero pad lanes
+            return fwc[:, :cc] if cc_w != cc else fwc
         return fw_ref[0, pl.ds(c * wch, wch), :]
 
     def ki_body(ki, best):
@@ -1494,11 +1555,11 @@ def _rank_window_max_for(wp: int, wch: int, c: int, n_cc: int,
     dtype = jnp.dtype(dtype_name)
     cc = c // n_cc
     assert wp % wch == 0 and c % n_cc == 0
-    assert not nbt or cc % TILE == 0
+    assert not nbt or cc % TILE == 0 or n_cc == 1
     if nbt:
         fw_spec = pl.BlockSpec(memory_space=pl.ANY)
         dma_scratch = [
-            pltpu.VMEM((wp // TILE, TILE, cc), dtype),
+            pltpu.VMEM((wp // TILE, TILE, _dma_c(cc)), dtype),
             pltpu.SemaphoreType.DMA,
         ]
     else:
