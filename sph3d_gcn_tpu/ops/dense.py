@@ -406,7 +406,12 @@ def window_features(
 # per-iteration buffers); C > 128 is zero-padded and swept by another
 # grid dimension.
 
-_A_CMP_DTYPE = jnp.int32  # flip to jnp.int8 to A/B the 4x-lane compare
+# One-hot A-build compare dtype. int32 is the only option that lowers:
+# Mosaic rejects vector<i8> arithmetic ("Only vector<i16> and vector<i32>
+# are supported") and i16 comparisons ("Target does not support this
+# comparison") — both measured on v5e (scripts/conv_ab.py, round 4) — so
+# the 2-4x lane-packing win for the A build is not reachable today.
+_A_CMP_DTYPE = jnp.int32
 
 # Direct in-kernel window DMA: instead of materializing the (g, W, C)
 # feature windows in HBM (window_features) and streaming them in through
@@ -644,7 +649,17 @@ def _dense_conv_bwd_kernel(
     def _():
         dfilt_ref[...] = jnp.zeros_like(dfilt_ref)
 
-    dfw_ref[...] = jnp.zeros_like(dfw_ref)
+    # only the tail chunks (>= used) need the zero fill: the main loop
+    # below WRITES (not accumulates) every chunk < used, so blanket
+    # zeroing re-wrote ~2/3 of the map for nothing (~0.4 ms on the
+    # S3DIS conv1 backward)
+    def zero_tail(c, carry):
+        dfw_ref[0, :, pl.ds(c * wch, wch)] = jnp.zeros(
+            (dfw_ref.shape[1], wch), dfw_ref.dtype
+        )
+        return carry
+
+    lax.fori_loop(used, n_wc, zero_tail, jnp.int32(0))
     inv = inv_ref[0]                                       # (1, T)
     ds = jnp.zeros((cc, f_bins, TILE), jnp.float32)
     for r in range(mult):

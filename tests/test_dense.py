@@ -336,6 +336,7 @@ def test_dense_maxpool_grad_matches_classic():
     )
 
 
+@pytest.mark.slow
 def test_dense_model_train_step_runs():
     """Full value_and_grad through a dense-graph model (conv VJP, max-pool
     VJP, window scatter) produces finite grads matching the classic path."""

@@ -103,7 +103,9 @@ def test_halo_reduce_is_exchange_transpose():
     )
 
 
-@pytest.mark.parametrize("c", [6, 160])
+@pytest.mark.parametrize(
+    "c", [6, pytest.param(160, marks=pytest.mark.slow)]
+)
 def test_point_sharded_conv_matches_unsharded(c):
     """Intra-level conv under 4-way point sharding: halo = one window,
     outputs and grads identical to the unsharded dense op, shard_ok
@@ -268,7 +270,9 @@ def _shard_op(mesh, dnbh_p, op, n_local_blocks, halo_blocks,
     )
 
 
-@pytest.mark.parametrize("dt", [np.float32, "bfloat16"])
+@pytest.mark.parametrize(
+    "dt", [pytest.param(np.float32, marks=pytest.mark.slow), "bfloat16"]
+)
 def test_point_sharded_pool_matches_unsharded(dt):
     """Inter-level max pool: coarse query tiles and fine feature rows
     shard over the same axis; the fine halo covers the pool windows.
@@ -378,6 +382,7 @@ def test_point_sharded_unpool_matches_unsharded():
     )
 
 
+@pytest.mark.slow
 def test_point_sharded_scene_seg_step_matches_unsharded():
     """Full S3DIS-family train step under 2-way point sharding: the model
     shards levels 0-1 (8 and 2 tiles), runs the coarse tail replicated,
@@ -535,6 +540,7 @@ def test_point_sharded_modelnet_step_matches_unsharded():
         )
 
 
+@pytest.mark.slow
 def test_composed_dp_sp_scene_seg_step_matches_unsharded():
     """2x2 ('data', 'points') mesh: the batch shards over 'data' and each
     cloud's rows over 'points' inside one shard_map'ed step. BN stats

@@ -286,6 +286,7 @@ def _loop_batches(batches):
     return lambda *_: iter(batches)
 
 
+@pytest.mark.slow
 def test_fit_dense_fallback_matches_classic(tmp_path):
     """An adversarial cloud trips dense_ok=False; fit() must transparently
     re-run those batches through the classic engine, ending in EXACTLY the
@@ -375,6 +376,7 @@ def test_checked_eval_step_falls_back(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_bn_priming_matches_batch_statistics():
     """Priming with N=1 installs exactly that batch's statistics: an
     eval-mode forward on the same batch then equals a train-mode forward

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sph3d_gcn_tpu.configs import SPH3DConfig, modelnet_config
 from sph3d_gcn_tpu.models import SPH3DModelNet, SPH3DSceneSeg
@@ -42,6 +43,7 @@ def test_lr_schedule_staircase_and_floor():
     np.testing.assert_allclose(float(sched(10_000_000)), 1e-6, rtol=1e-6)  # floor
 
 
+@pytest.mark.slow
 def test_classification_train_step_reduces_loss():
     cfg = modelnet_config(num_input=512)
     model = SPH3DModelNet(cfg)
@@ -60,6 +62,7 @@ def test_classification_train_step_reduces_loss():
     assert int(state.step) == 6
 
 
+@pytest.mark.slow
 def test_sharded_train_step_runs_on_mesh():
     assert jax.device_count() == 8
     mesh = make_mesh()
@@ -85,6 +88,7 @@ def test_sharded_train_step_runs_on_mesh():
     assert len(state.params["logits"]["weights"].sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_device():
     # Same batch, same init: sharded step must match the unsharded step.
     cfg = _seg_cfg()
