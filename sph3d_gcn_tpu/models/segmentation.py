@@ -47,18 +47,23 @@ NUM_SHAPENET_CATEGORIES = 16  # ref models/SPH3D_shapenet_onehot.py:10
 def _maybe_sort(cfg: SPH3DConfig, points: jax.Array):
     """Axis-sort the cloud for the windowed engine (cfg.spatial_sort).
 
-    Returns (sorted_points, rank) where ``rank`` un-permutes per-point
-    outputs back to the caller's input order (None when sorting is off) —
-    the model's external contract is order-preserving either way.
+    Returns (sorted_points, (perm, rank)) where ``rank`` un-permutes
+    per-point outputs back to the caller's input order (None when sorting
+    is off) — the model's external contract is order-preserving either
+    way. ``perm`` rides along as the unsort's inverse so its VJP is a
+    gather, not a scatter-add (see ops/locality.py permute_points).
     """
     if not cfg.spatial_sort:
         return points, None
     perm, rank = spatial_sort(points, cfg.radius[0])
-    return permute_points(points, perm), rank
+    return permute_points(points, perm), (perm, rank)
 
 
-def _maybe_unsort(logits: jax.Array, rank):
-    return logits if rank is None else permute_points(logits, rank)
+def _maybe_unsort(logits: jax.Array, sort):
+    if sort is None:
+        return logits
+    perm, rank = sort
+    return permute_points(logits, rank, inv=perm)
 
 
 def _maybe_gather_rows(cfg: SPH3DConfig, logits: jax.Array, num_points: int):
@@ -384,7 +389,7 @@ class SPH3DShapeNet(fnn.Module):
     @fnn.compact
     def __call__(self, points: jax.Array, train: bool = False) -> jax.Array:
         cfg = self.config
-        points, rank = _maybe_sort(cfg, points)
+        points, sort = _maybe_sort(cfg, points)
         xyz = points[:, :, 0:3]
         net = points
         if cfg.normalize:
@@ -400,7 +405,7 @@ class SPH3DShapeNet(fnn.Module):
             name="logits",
         )(net, train)
         net = _maybe_gather_rows(cfg, net, points.shape[1])
-        return _maybe_unsort(net, rank)
+        return _maybe_unsort(net, sort)
 
 
 class SPH3DShapeNetOnehot(fnn.Module):
@@ -416,7 +421,7 @@ class SPH3DShapeNetOnehot(fnn.Module):
         self, points: jax.Array, cls_label: jax.Array, train: bool = False
     ) -> jax.Array:
         cfg = self.config
-        points, rank = _maybe_sort(cfg, points)
+        points, sort = _maybe_sort(cfg, points)
         xyz = points[:, :, 0:3]
         net = SegEncoderDecoder(cfg, include_input_skip=True, name="backbone")(
             points, xyz, train
@@ -432,7 +437,7 @@ class SPH3DShapeNetOnehot(fnn.Module):
             name="logits",
         )(net, train)
         net = _maybe_gather_rows(cfg, net, points.shape[1])
-        return _maybe_unsort(net, rank)
+        return _maybe_unsort(net, sort)
 
 
 class SPH3DSceneSeg(fnn.Module):
@@ -445,7 +450,7 @@ class SPH3DSceneSeg(fnn.Module):
     @fnn.compact
     def __call__(self, points: jax.Array, train: bool = False) -> jax.Array:
         cfg = self.config
-        points, rank = _maybe_sort(cfg, points)
+        points, sort = _maybe_sort(cfg, points)
         xyz = points[:, :, 0:3]
         norm_xyz = normalize_xy_center_z_floor(xyz) if cfg.normalize else xyz
         net = jnp.concatenate((norm_xyz, points[:, :, 6:]), axis=2)
@@ -460,7 +465,7 @@ class SPH3DSceneSeg(fnn.Module):
             name="logits",
         )(net, train)
         net = _maybe_gather_rows(cfg, net, points.shape[1])
-        return _maybe_unsort(net, rank)
+        return _maybe_unsort(net, sort)
 
 
 class SPH3DRueMonge(fnn.Module):
@@ -472,7 +477,7 @@ class SPH3DRueMonge(fnn.Module):
     @fnn.compact
     def __call__(self, points: jax.Array, train: bool = False) -> jax.Array:
         cfg = self.config
-        points, rank = _maybe_sort(cfg, points)
+        points, sort = _maybe_sort(cfg, points)
         xyz = points[:, :, 0:3]
         norm_xyz = normalize_mean_center(xyz) if cfg.normalize else xyz
         net = jnp.concatenate((norm_xyz, points[:, :, 3:]), axis=2)
@@ -487,14 +492,22 @@ class SPH3DRueMonge(fnn.Module):
             name="logits",
         )(net, train)
         net = _maybe_gather_rows(cfg, net, points.shape[1])
-        return _maybe_unsort(net, rank)
+        return _maybe_unsort(net, sort)
+
+
+def _nll_points(logp: jax.Array, labels: jax.Array) -> jax.Array:
+    """-logp[..., label] per point via a one-hot contraction: ncls is
+    small (7-50), so the masked sum fuses on the VPU and its VJP is the
+    same one-hot multiply — a per-point gather here costs a scatter-add
+    cotangent into (B, N, ncls) instead (~2 ms at S3DIS batch shapes)."""
+    onehot = jax.nn.one_hot(labels, logp.shape[-1], dtype=logp.dtype)
+    return -jnp.sum(logp * onehot, axis=-1)
 
 
 def segmentation_item_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
     """Per-item mean CE over the item's points, (B,)."""
     logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
-    return jnp.mean(nll, axis=1)
+    return jnp.mean(_nll_points(logp, labels), axis=1)
 
 
 def segmentation_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
@@ -510,7 +523,7 @@ def inner_masked_item_loss(
     """Per-item mean CE over *inner* (non-context) points, (B,); items with
     no inner points contribute 0 (ref SPH3D_s3dis.py:116-133)."""
     logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    nll = _nll_points(logp, labels)
     inner = (inner_label > 0).astype(nll.dtype)
     per_item_sum = jnp.sum(nll * inner, axis=1)
     per_item_cnt = jnp.sum(inner, axis=1)
