@@ -102,11 +102,20 @@ class DenseNeighborhood:
     count: jax.Array
     dist: jax.Array | None
     ok: jax.Array
+    # (B,) int32 per-cloud sort axis (grouped bin maps only, else None).
+    axis: jax.Array | None = None
     num_query: int = dataclasses.field(metadata={"static": True}, default=0)
     num_db: int = dataclasses.field(metadata={"static": True}, default=0)
     # > 0 iff packed holds neighbor ranks 1..k_max (selection-only maps
     # with nn_sample <= 127): the MXU-compacted pool keys on this.
     k_max: int = dataclasses.field(metadata={"static": True}, default=0)
+    # True iff packed holds SORT-GROUPED bin ids (an axis-dependent
+    # permutation of ref bin order, (8,2,q) kernels only): the conv then
+    # contracts per-zone row subsets (zone-split) and permutes its
+    # filter rows per cloud with _grouped_perm. Non-conv consumers only
+    # ever test ``packed > 0`` and are unaffected.
+    grouped: bool = dataclasses.field(metadata={"static": True},
+                                      default=False)
 
     @property
     def window(self) -> int:
@@ -277,11 +286,13 @@ def build_dense_graph(
     else:
         e_used = e_row
     u_end = -(-(e_used - s_blk * TILE) // TILE)
+    grouped = kernel is not None and kernel[0] == 8 and kernel[1] == 2
     packed, dist, gmax = dense_query_pallas(
         blocked_db(db_p),
         q_p,
         s_blk,
         u_end,
+        axis if grouped else None,
         radius=radius,
         k=k,
         kernel=kernel,
@@ -327,9 +338,11 @@ def build_dense_graph(
         count=count if query_shard is not None else count[:, :num_q],
         dist=dist,
         ok=ok,
+        axis=axis.astype(jnp.int32) if grouped else None,
         num_query=m_pad if query_shard is not None else num_q,
         num_db=num_db,
         k_max=k if (kernel is None and k <= 127) else 0,
+        grouped=grouped,
     )
 
 
@@ -535,27 +548,42 @@ def _window_scatter_t(
     return out
 
 
-def _conv_chunk_a(packed_ref, c, wch, f_bins, dtype):
-    """Chunk c's one-hot bin matrix A (F*T, wch) from the packed map."""
+def _conv_chunk_a(packed_ref, c, wch, fl, fh, dtype):
+    """Chunk c's one-hot bin matrix A ((fh-fl)*T, wch) from the packed
+    map, for the static bin-row range [fl, fh) of the current zone."""
     cmp = _A_CMP_DTYPE
     pk = packed_ref[0, :, pl.ds(c * wch, wch)].astype(cmp)  # (T, wch)
     t = pk.shape[0]
-    f_iota = lax.broadcasted_iota(cmp, (f_bins, t, wch), 0)
-    return (pk[None, :, :] == f_iota + jnp.asarray(1, cmp)).reshape(
-        f_bins * t, wch
+    f_iota = lax.broadcasted_iota(cmp, (fh - fl, t, wch), 0)
+    return (pk[None, :, :] == f_iota + jnp.asarray(fl + 1, cmp)).reshape(
+        (fh - fl) * t, wch
     ).astype(dtype)
 
 
+def _zone_chunk_ranges(zones_ref, i):
+    """The five (start, end) chunk ranges from the prefetched per-tile
+    boundaries (see the zone-split comment above _zone_rows)."""
+    z = [zones_ref[i, j] for j in range(6)]
+    return (
+        (z[0], z[1]),
+        (z[1], z[2]),
+        (z[2], z[3]),
+        (jnp.maximum(z[2], z[3]), z[4]),
+        (z[4], z[5]),
+    )
+
+
 def _dense_conv_fwd_kernel(
-    used_ref, sblk_ref, packed_ref, fw_ref, filt_ref, inv_ref, out_ref,
-    *rest, wch, n_wc, n_t, nbt, stash=False,
+    zones_ref, sblk_ref, packed_ref, fw_ref, filt_ref, inv_ref, out_ref,
+    *rest, wch, n_wc, n_t, nbt, zrows, stash=False,
 ):
     """Grid (k_c, g): one cell = one query tile (for one C chunk). The W
-    sweep is an in-kernel ``fori_loop`` whose trip count is the tile's
-    last nonempty chunk (``used_ref``, scalar-prefetched): the window is
-    sized for the WORST tile, so the average tile skips its all-zero
-    tail — and a dynamic loop bound is the one skip construct Mosaic
-    compiles happily (matmuls under pl.when wedge its lowering). The
+    sweep runs as five ``fori_loop``s — the per-tile ZONES of the
+    grouped map (see _zone_rows), each contracting only its zone's
+    static bin-row subset of A; ungrouped maps degenerate to one full
+    sweep. Dynamic loop bounds are the one skip construct Mosaic
+    compiles happily (matmuls under pl.when wedge its lowering), and the
+    zone bounds also subsume the old last-nonempty-chunk tail skip. The
     neighbor mean (ref tf_conv3d_gpu.cu:25) is fused in as the per-row
     ``inv_ref`` scale.
 
@@ -565,6 +593,9 @@ def _dense_conv_fwd_kernel(
     leading dim, as in the query kernel); otherwise it is the
     materialized (1, W, cc) window block.
 
+    ``filt_ref`` is PER-CLOUD (grouped row order, ops._grouped_perm
+    applied outside the custom_vjp so autodiff un-permutes dfilt).
+
     ``stash=True`` (the VJP forward) also emits the bin-contraction
     matrix S (cc, F*T) in the compute dtype so the backward skips the
     most expensive recompute — the per-chunk S dot, which at C >= 64
@@ -572,8 +603,7 @@ def _dense_conv_fwd_kernel(
     write+read of S instead. The primal-only kernel (eval forwards)
     never materializes it."""
     i = pl.program_id(1)
-    used = used_ref[i]
-    mult, cc, f_bins = filt_ref.shape
+    _, mult, cc, f_bins = filt_ref.shape
     if stash:
         sout_ref, *rest = rest
     s_scr, *rest = rest
@@ -599,30 +629,34 @@ def _dense_conv_fwd_kernel(
             return fwc[:, :cc] if lanes != cc else fwc
         return fw_ref[0, pl.ds(c * wch, wch), :]
 
-    def body(c, carry):
-        a = _conv_chunk_a(packed_ref, c, wch, f_bins, filt_ref.dtype)
-        s_scr[...] += lax.dot_general(
-            _fw_chunk(c), a,
-            (((0,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                           # (cc, F*T)
-        return carry
+    def _zone_body(fl, fh):
+        def body(c, carry):
+            a = _conv_chunk_a(packed_ref, c, wch, fl, fh, filt_ref.dtype)
+            s_scr[:, fl * TILE:fh * TILE] += lax.dot_general(
+                _fw_chunk(c), a,
+                (((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                       # (cc, (fh-fl)*T)
+            return carry
 
-    lax.fori_loop(0, used, body, jnp.int32(0))
+        return body
+
+    for (lo, hi), (fl, fh) in zip(_zone_chunk_ranges(zones_ref, i), zrows):
+        lax.fori_loop(lo, hi, _zone_body(fl, fh), jnp.int32(0))
     if stash:
         sout_ref[0] = s_scr[...].astype(sout_ref.dtype)
     s3 = s_scr[...].reshape(cc, f_bins, TILE)
     inv = inv_ref[0]                                # (1, T)
     for r in range(mult):
-        f_r = filt_ref[r].astype(jnp.float32)       # (cc, F)
+        f_r = filt_ref[0, r].astype(jnp.float32)    # (cc, F)
         out_ref[0, r] = (
             jnp.sum(s3 * f_r[:, :, None], axis=1) * inv
         ).astype(out_ref.dtype)                     # (cc, T)
 
 
 def _dense_conv_bwd_kernel(
-    used_ref, packed_ref, filt_ref, inv_ref, dout_ref, sin_ref,
-    dfw_ref, dfilt_ref, ds_scr, *, wch, n_wc,
+    zones_ref, packed_ref, filt_ref, inv_ref, dout_ref, sin_ref,
+    dfw_ref, dfilt_ref, ds_scr, *, wch, n_wc, n_t, zrows,
 ):
     """Same grid as forward. The bin-contraction matrix S comes back in
     from the forward's stash (``sin_ref``; see _dense_conv_fwd_kernel
@@ -632,9 +666,11 @@ def _dense_conv_bwd_kernel(
     at all (no fw input, no window DMA: dfw = dS @ A needs only the
     packed map). Emits dfw^T[c, w] = sum_(f,t) dS[c,(f,t)] A[(f,t),w]
     per W chunk and dfilt^T[r,c,f] = sum_t S[c,f,t] dout[r,c,t] at the
-    end, accumulated over all tiles (ref tf_conv3d_gpu.cu:33-101
-    semantics, deterministic). Chunks past the tile's last nonempty one
-    are skipped by the loop bound; their dfw slots were zeroed up front.
+    end, accumulated per CLOUD (ref tf_conv3d_gpu.cu:33-101 semantics,
+    deterministic). The chunk sweep mirrors the forward's five zones
+    (each zone's dot reads only its static dS row slice); chunks
+    outside [z0, z5) are zero-filled, and zone overlaps only ever land
+    on provably-empty chunks, where every zone writes the same zeros.
 
     The (C, W) output orientation is deliberate: emitting (W, C)
     directly (to skip the HBM swapaxes after) needs a contract-on-dim-0
@@ -642,47 +678,54 @@ def _dense_conv_bwd_kernel(
     shuffle path — measured +6ms per fine-level conv, far more than the
     ~1.2ms swapaxes it saves (round-3 A/B)."""
     i = pl.program_id(1)
-    used = used_ref[i]
-    mult, cc, f_bins = filt_ref.shape
+    _, mult, cc, f_bins = filt_ref.shape
 
-    @pl.when(i == 0)
+    @pl.when(i % n_t == 0)
     def _():
         dfilt_ref[...] = jnp.zeros_like(dfilt_ref)
 
-    # only the tail chunks (>= used) need the zero fill: the main loop
-    # below WRITES (not accumulates) every chunk < used, so blanket
-    # zeroing re-wrote ~2/3 of the map for nothing (~0.4 ms on the
-    # S3DIS conv1 backward)
-    def zero_tail(c, carry):
+    # only chunks OUTSIDE [z0, z5) need the zero fill: the zone loops
+    # below WRITE (not accumulate) everything inside, so blanket zeroing
+    # re-wrote ~2/3 of the map for nothing (~0.4 ms on the S3DIS conv1
+    # backward)
+    def zero_chunk(c, carry):
         dfw_ref[0, :, pl.ds(c * wch, wch)] = jnp.zeros(
             (dfw_ref.shape[1], wch), dfw_ref.dtype
         )
         return carry
 
-    lax.fori_loop(used, n_wc, zero_tail, jnp.int32(0))
+    z0 = zones_ref[i, 0]
+    z5 = zones_ref[i, 5]
+    lax.fori_loop(0, jnp.minimum(z0, z5), zero_chunk, jnp.int32(0))
+    lax.fori_loop(z5, n_wc, zero_chunk, jnp.int32(0))
     inv = inv_ref[0]                                       # (1, T)
     ds = jnp.zeros((cc, f_bins, TILE), jnp.float32)
     for r in range(mult):
-        f_r = filt_ref[r].astype(jnp.float32)              # (cc, F)
+        f_r = filt_ref[0, r].astype(jnp.float32)           # (cc, F)
         dout_r = dout_ref[0, r].astype(jnp.float32) * inv  # (cc, T)
         ds = ds + f_r[:, :, None] * dout_r[:, None, :]
     # staged in the MATMUL dtype: the dfw dot reads it every W chunk, so
     # the f32->bf16 convert happens once per tile here, not per chunk
     ds_scr[...] = ds.reshape(cc, f_bins * TILE).astype(ds_scr.dtype)
 
-    def body(c, carry):
-        a = _conv_chunk_a(packed_ref, c, wch, f_bins, filt_ref.dtype)
-        dfw_ref[0, :, pl.ds(c * wch, wch)] = lax.dot_general(
-            ds_scr[...], a, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(dfw_ref.dtype)                      # (cc, wch)
-        return carry
+    def _zone_body(fl, fh):
+        def body(c, carry):
+            a = _conv_chunk_a(packed_ref, c, wch, fl, fh, filt_ref.dtype)
+            dfw_ref[0, :, pl.ds(c * wch, wch)] = lax.dot_general(
+                ds_scr[:, fl * TILE:fh * TILE], a,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dfw_ref.dtype)                  # (cc, wch)
+            return carry
 
-    lax.fori_loop(0, used, body, jnp.int32(0))
+        return body
+
+    for (lo, hi), (fl, fh) in zip(_zone_chunk_ranges(zones_ref, i), zrows):
+        lax.fori_loop(lo, hi, _zone_body(fl, fh), jnp.int32(0))
     s3 = sin_ref[0].astype(jnp.float32).reshape(cc, f_bins, TILE)
     for r in range(mult):
         dout_r = dout_ref[0, r].astype(jnp.float32) * inv
-        dfilt_ref[r] += jnp.sum(
+        dfilt_ref[0, r] += jnp.sum(
             s3 * dout_r[:, None, :], axis=2
         ).astype(dfilt_ref.dtype)                    # (cc, F)
 
@@ -722,13 +765,18 @@ def _w_chunk(
 
 @functools.lru_cache(maxsize=None)
 def _dense_conv_for(w: int, wch: int, f_bins: int, mult: int, c_pad: int,
-                    n_cc: int, dtype_name: str, n_t: int = 0, nbt: int = 0):
+                    n_cc: int, dtype_name: str, n_t: int, nbt: int = 0,
+                    grouped: bool = False):
     """w is the PADDED window (a multiple of the chunk width wch).
 
     With ``nbt > 0`` the returned op takes the TILE-row-blocked feature
     array (B*nbt, TILE, cc) instead of materialized windows and DMAs
     each tile's slab in-kernel (direct window DMA); its cotangent is the
     blocked array too (per-tile dfw maps scattered by _window_scatter).
+
+    ``grouped`` selects the zone-split chunk sweep (sort-grouped maps);
+    the filter operand is per-cloud (B, mult, c_pad, F) either way, in
+    grouped row order when grouped (callers apply _grouped_perm).
 
     Under differentiation the forward stashes its bin-contraction matrix
     S (compute dtype, (g, C, F*T) in HBM) so the backward skips the S
@@ -739,7 +787,8 @@ def _dense_conv_for(w: int, wch: int, f_bins: int, mult: int, c_pad: int,
     cc = c_pad // n_cc
     assert w % wch == 0
     n_wc = w // wch
-    kparams = dict(wch=wch, n_wc=n_wc, n_t=n_t, nbt=nbt)
+    zrows = _zone_rows(f_bins, grouped)
+    kparams = dict(wch=wch, n_wc=n_wc, n_t=n_t, nbt=nbt, zrows=zrows)
     scratch = [
         pltpu.VMEM((cc, f_bins * TILE), jnp.float32),
     ]
@@ -754,7 +803,7 @@ def _dense_conv_for(w: int, wch: int, f_bins: int, mult: int, c_pad: int,
                                memory_space=pltpu.VMEM)
         dma_scratch = []
 
-    def fwd_impl(used, sblk, packed, fw, filt_rcf, inv, stash: bool):
+    def fwd_impl(zones, sblk, packed, fw, filt_bg, inv, stash: bool):
         g_dim = packed.shape[0]
         out_specs = [pl.BlockSpec(
             (1, mult, cc, TILE), lambda k, i, s, s2: (i, 0, k, 0),
@@ -780,8 +829,8 @@ def _dense_conv_for(w: int, wch: int, f_bins: int, mult: int, c_pad: int,
                                  lambda k, i, s, s2: (i, 0, 0),
                                  memory_space=pltpu.VMEM),
                     fw_spec,
-                    pl.BlockSpec((mult, cc, f_bins),
-                                 lambda k, i, s, s2: (0, k, 0),
+                    pl.BlockSpec((1, mult, cc, f_bins),
+                                 lambda k, i, s, s2: (i // n_t, 0, k, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((1, 1, TILE),
                                  lambda k, i, s, s2: (i, 0, 0),
@@ -792,14 +841,16 @@ def _dense_conv_for(w: int, wch: int, f_bins: int, mult: int, c_pad: int,
             ),
             out_shape=out_shape if stash else out_shape[0],
             interpret=jax.default_backend() != "tpu",
-        )(used, sblk, packed, fw, filt_rcf, inv)
+        )(zones, sblk, packed, fw, filt_bg, inv)
         return res if stash else (res, None)
 
     def bwd(res, dout):
-        used, sblk, packed, filt_rcf, inv, s_st = res
+        zones, sblk, packed, filt_bg, inv, s_st = res
         g_dim = packed.shape[0]
+        batch = g_dim // n_t
         dfw_t, dfilt_t = pl.pallas_call(
-            functools.partial(_dense_conv_bwd_kernel, wch=wch, n_wc=n_wc),
+            functools.partial(_dense_conv_bwd_kernel, wch=wch, n_wc=n_wc,
+                              n_t=n_t, zrows=zrows),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(n_cc, g_dim),
@@ -807,8 +858,8 @@ def _dense_conv_for(w: int, wch: int, f_bins: int, mult: int, c_pad: int,
                     pl.BlockSpec((1, TILE, w),
                                  lambda k, i, s: (i, 0, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((mult, cc, f_bins),
-                                 lambda k, i, s: (0, k, 0),
+                    pl.BlockSpec((1, mult, cc, f_bins),
+                                 lambda k, i, s: (i // n_t, 0, k, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((1, 1, TILE),
                                  lambda k, i, s: (i, 0, 0),
@@ -824,8 +875,8 @@ def _dense_conv_for(w: int, wch: int, f_bins: int, mult: int, c_pad: int,
                     pl.BlockSpec((1, cc, w),
                                  lambda k, i, s: (i, k, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((mult, cc, f_bins),
-                                 lambda k, i, s: (0, k, 0),
+                    pl.BlockSpec((1, mult, cc, f_bins),
+                                 lambda k, i, s: (i // n_t, 0, k, 0),
                                  memory_space=pltpu.VMEM),
                 ],
                 scratch_shapes=[
@@ -834,12 +885,12 @@ def _dense_conv_for(w: int, wch: int, f_bins: int, mult: int, c_pad: int,
             ),
             out_shape=[
                 jax.ShapeDtypeStruct((g_dim, c_pad, w), dtype),
-                jax.ShapeDtypeStruct((mult, c_pad, f_bins), jnp.float32),
+                jax.ShapeDtypeStruct((batch, mult, c_pad, f_bins),
+                                     jnp.float32),
             ],
             interpret=jax.default_backend() != "tpu",
-        )(used, packed, filt_rcf, inv, dout, s_st)
+        )(zones, packed, filt_bg, inv, dout, s_st)
         if nbt:
-            batch = g_dim // n_t
             dfw = _window_scatter_t(
                 dfw_t.reshape(batch, n_t, c_pad, w),
                 sblk.reshape(batch, n_t),
@@ -848,22 +899,22 @@ def _dense_conv_for(w: int, wch: int, f_bins: int, mult: int, c_pad: int,
         else:
             dfw = jnp.swapaxes(dfw_t, 1, 2)          # (g, W, C_pad)
         return (
-            jnp.zeros(used.shape, dtype=jax.dtypes.float0),
+            jnp.zeros(zones.shape, dtype=jax.dtypes.float0),
             jnp.zeros(sblk.shape, dtype=jax.dtypes.float0),
             jnp.zeros(packed.shape, dtype=jax.dtypes.float0),
             dfw,
-            dfilt_t.astype(filt_rcf.dtype),
+            dfilt_t.astype(filt_bg.dtype),
             jnp.zeros_like(inv),  # counts are constants (no gradient)
         )
 
     @jax.custom_vjp
-    def f(used, sblk, packed, fw, filt_rcf, inv):
-        out, _ = fwd_impl(used, sblk, packed, fw, filt_rcf, inv, False)
+    def f(zones, sblk, packed, fw, filt_bg, inv):
+        out, _ = fwd_impl(zones, sblk, packed, fw, filt_bg, inv, False)
         return out
 
-    def fwd_rule(used, sblk, packed, fw, filt_rcf, inv):
-        out, s_st = fwd_impl(used, sblk, packed, fw, filt_rcf, inv, True)
-        return out, (used, sblk, packed, filt_rcf, inv, s_st)
+    def fwd_rule(zones, sblk, packed, fw, filt_bg, inv):
+        out, s_st = fwd_impl(zones, sblk, packed, fw, filt_bg, inv, True)
+        return out, (zones, sblk, packed, filt_bg, inv, s_st)
 
     f.defvjp(fwd_rule, bwd)
     return f
@@ -875,12 +926,12 @@ def _dense_conv_for(w: int, wch: int, f_bins: int, mult: int, c_pad: int,
 # (row = f * tc + t) so the in-kernel (F*tc, C) -> (F, tc, C) reshape is
 # a pure leading-dim split Mosaic accepts.
 
-def _rm_fw(fw_ref, rest, sblk_ref, n_t, nbt):
-    """The (W, C) window operand: the VMEM block, or (direct mode) a
-    slab DMA'd from the blocked feature array at row-chunk 0 (the
-    scratch persists across the inner row-chunk grid axis)."""
+def _rm_slab_load(fw_ref, rest, sblk_ref, n_t, nbt):
+    """Direct mode: DMA the tile's window slab into the VMEM scratch at
+    row-chunk 0 (the scratch persists across the inner grid axis);
+    returns the scratch (or None when windows are materialized)."""
     if not nbt:
-        return fw_ref[0], None
+        return None
     fwin_scr, sem = rest
     i = pl.program_id(0)
 
@@ -893,61 +944,89 @@ def _rm_fw(fw_ref, rest, sblk_ref, n_t, nbt):
         dma.start()
         dma.wait()
 
-    nbw, _, lanes = fwin_scr.shape
-    fw = fwin_scr[...].reshape(nbw * TILE, lanes)
-    return fw, None
+    return fwin_scr
+
+
+def _rm_a_chunk(packed_ref, cw, wch, fl, fh, dtype):
+    """Chunk cw's F-MAJOR one-hot A ((fh-fl)*tc, wch) for zone rows
+    [fl, fh) from the (1, tc, W) packed block ref (ref-sliced: Mosaic
+    rejects dynamic slices of values)."""
+    pk = packed_ref[0, :, pl.ds(cw * wch, wch)].astype(_A_CMP_DTYPE)
+    tc = pk.shape[0]
+    f_iota = lax.broadcasted_iota(_A_CMP_DTYPE, (fh - fl, tc, wch), 0)
+    return (
+        pk[None, :, :] == f_iota + jnp.asarray(fl + 1, _A_CMP_DTYPE)
+    ).reshape((fh - fl) * tc, wch).astype(dtype)
 
 
 def _dense_conv_rm_fwd_kernel(
-    sblk_ref, packed_ref, fw_ref, filt_ref, out_ref, *rest, n_t, nbt,
-    stash=False,
+    zones_ref, sblk_ref, packed_ref, fw_ref, filt_ref, out_ref, *rest,
+    n_t, nbt, wch, zrows, stash=False,
 ):
     """out[t, r*C + c] = (sum_w sum_f [packed==f+1] fw[w,c] filt[r,f,c])
-    for one (tile, row-chunk); the neighbor mean is applied outside.
-    ``stash=True`` (VJP forward) also emits S (F, tc, C) so the backward
-    skips its recompute dot AND the window read (see the transposed
-    kernel)."""
-    packed = packed_ref[0].astype(_A_CMP_DTYPE)   # (tc, W)
-    tc, w = packed.shape
-    mult, f_bins, c = filt_ref.shape
+    for one (tile, row-chunk); the neighbor mean is applied outside. The
+    W sweep runs as the five zone ``fori_loop``s of the grouped map
+    (static bin-row subsets per zone, see _zone_rows), accumulating the
+    bin contraction into an f32 VMEM scratch. ``stash=True`` (VJP
+    forward) also emits S (F, tc, C) so the backward skips its recompute
+    dot AND the window read (see the transposed kernel)."""
+    i = pl.program_id(0)
+    tc = packed_ref.shape[1]
+    _, mult, f_bins, c = filt_ref.shape
     if stash:
         sout_ref, *rest = rest
-    fw, _ = _rm_fw(fw_ref, rest, sblk_ref, n_t, nbt)
-    if fw.shape[-1] != c:          # lane-padded DMA slab: drop pad lanes
-        fw = fw[:, :c]
-    f_iota = lax.broadcasted_iota(_A_CMP_DTYPE, (f_bins, tc, w), 0)
-    a = (packed[None, :, :] == f_iota + jnp.asarray(1, _A_CMP_DTYPE)).reshape(
-        f_bins * tc, w
-    ).astype(filt_ref.dtype)
-    s = jnp.dot(
-        a, fw, preferred_element_type=jnp.float32
-    ).reshape(f_bins, tc, c)                       # f32
+    s_scr, *rest = rest
+    slab = _rm_slab_load(fw_ref, rest, sblk_ref, n_t, nbt)
+
+    def _fw_chunk(cw):
+        if nbt:
+            wcb = wch // TILE
+            lanes = slab.shape[-1]
+            fwc = slab[pl.ds(cw * wcb, wcb)].reshape(wch, lanes)
+            return fwc[:, :c] if lanes != c else fwc
+        return fw_ref[0, pl.ds(cw * wch, wch), :]
+
+    s_scr[...] = jnp.zeros_like(s_scr)
+
+    def _zone_body(fl, fh):
+        def body(cw, carry):
+            a = _rm_a_chunk(packed_ref, cw, wch, fl, fh, filt_ref.dtype)
+            s_scr[fl * tc:fh * tc, :] += jnp.dot(
+                a, _fw_chunk(cw), preferred_element_type=jnp.float32
+            )
+            return carry
+
+        return body
+
+    for (lo, hi), (fl, fh) in zip(_zone_chunk_ranges(zones_ref, i), zrows):
+        lax.fori_loop(lo, hi, _zone_body(fl, fh), jnp.int32(0))
+    s = s_scr[...].reshape(f_bins, tc, c)          # f32
     if stash:
         sout_ref[0] = s.astype(sout_ref.dtype)
     outs = []
     for r in range(mult):
-        f_r = filt_ref[r].astype(jnp.float32)      # (F, C)
+        f_r = filt_ref[0, r].astype(jnp.float32)   # (F, C)
         outs.append(jnp.sum(s * f_r[:, None, :], axis=0))  # (tc, C)
     out_ref[0] = jnp.concatenate(outs, axis=-1).astype(out_ref.dtype)
 
 
 def _dense_conv_rm_bwd_kernel(
-    sblk_ref, packed_ref, filt_ref, dout_ref, sin_ref, dfw_ref, dfilt_ref,
+    zones_ref, packed_ref, filt_ref, dout_ref, sin_ref, dfw_ref, dfilt_ref,
+    ds_scr, *, n_t, wch, zrows,
 ):
     """S comes from the forward's stash (no recompute, no window read):
-    dfilt[r,f,c] += sum_t S[f,t,c] dout[t, r*C+c]  (accumulated all steps)
+    dfilt[r,f,c] += sum_t S[f,t,c] dout[t, r*C+c]  (accumulated per cloud)
     dfw[w,c]     += sum_(f,t) A[(f,t),w] dS[(f,t),c],
-    with dS[f,t,c] = sum_r filt[r,f,c] dout[t, r*C+c]."""
-    packed = packed_ref[0].astype(_A_CMP_DTYPE)
-    tc, w = packed.shape
-    mult, f_bins, c = filt_ref.shape
-    f_iota = lax.broadcasted_iota(_A_CMP_DTYPE, (f_bins, tc, w), 0)
-    a = (packed[None, :, :] == f_iota + jnp.asarray(1, _A_CMP_DTYPE)).reshape(
-        f_bins * tc, w
-    ).astype(filt_ref.dtype)
+    with dS[f,t,c] = sum_r filt[r,f,c] dout[t, r*C+c]. The dfw sweep
+    mirrors the forward's zones; the whole-tile dfw block is zeroed at
+    row-chunk 0 and zone dots ACCUMULATE, so chunks no zone touches
+    stay zero."""
+    i = pl.program_id(0)
+    tc = packed_ref.shape[1]
+    _, mult, f_bins, c = filt_ref.shape
     s = sin_ref[0].astype(jnp.float32)             # (F, tc, C)
 
-    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    @pl.when((pl.program_id(0) % n_t == 0) & (pl.program_id(1) == 0))
     def _():
         dfilt_ref[...] = jnp.zeros_like(dfilt_ref)
 
@@ -958,38 +1037,58 @@ def _dense_conv_rm_bwd_kernel(
     ds = jnp.zeros((f_bins, tc, c), jnp.float32)
     for r in range(mult):
         dout_r = dout_ref[0][:, r * c:(r + 1) * c].astype(jnp.float32)
-        f_r = filt_ref[r].astype(jnp.float32)
-        dfilt_ref[r] += jnp.sum(
+        f_r = filt_ref[0, r].astype(jnp.float32)
+        dfilt_ref[0, r] += jnp.sum(
             s * dout_r[None, :, :], axis=1
         ).astype(dfilt_ref.dtype)
         ds = ds + f_r[:, None, :] * dout_r[None, :, :]
-    dfw_ref[0] += lax.dot_general(
-        a, ds.reshape(f_bins * tc, c).astype(a.dtype),
-        (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(dfw_ref.dtype)
+    ds_scr[...] = ds.reshape(f_bins * tc, c).astype(ds_scr.dtype)
+
+    def _zone_body(fl, fh):
+        def body(cw, carry):
+            a = _rm_a_chunk(packed_ref, cw, wch, fl, fh, ds_scr.dtype)
+            dfw_ref[0, pl.ds(cw * wch, wch), :] += lax.dot_general(
+                a, ds_scr[fl * tc:fh * tc, :],
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dfw_ref.dtype)
+            return carry
+
+        return body
+
+    for (lo, hi), (fl, fh) in zip(_zone_chunk_ranges(zones_ref, i), zrows):
+        lax.fori_loop(lo, hi, _zone_body(fl, fh), jnp.int32(0))
 
 
-def _rm_t_chunk_for(f_bins: int, w: int, c: int, itemsize: int) -> int:
-    """Rows per kernel step, sized so the A block (tc*F, W) plus the f32
-    S and dS transients (tc*F, C) fit the ~16MB VMEM with headroom (fewer
-    grid steps amortize the per-step overhead)."""
+def _rm_t_chunk_for(f_bins: int, w: int, wch: int, c: int,
+                    itemsize: int) -> int:
+    """Rows per kernel step, sized so the per-chunk A block (tc*F, wch),
+    the f32 S/dS scratches (tc*F, C) and the packed/dfw blocks fit the
+    ~16MB VMEM with headroom (fewer grid steps amortize the per-step
+    overhead). Sublane-sliced zone accumulation needs tc % 8 == 0."""
     budget = 8 * 1024 * 1024
-    per_row = f_bins * (w * itemsize + 8 * c)
-    tc = max(1, budget // max(1, per_row))
+    per_row = f_bins * (wch * itemsize + (8 + itemsize) * c) + w * 1
+    tc = max(8, budget // max(1, per_row))
     tc = min(TILE, tc)
-    while TILE % tc:
+    while TILE % tc or tc % 8:
         tc -= 1
-    return tc
+    return max(tc, 8)
 
 
 @functools.lru_cache(maxsize=None)
-def _dense_conv_rm_for(w: int, f_bins: int, mult: int, dtype_name: str,
-                       c: int, n_t: int = 0, nbt: int = 0):
-    """``nbt > 0``: direct window DMA, as in _dense_conv_for."""
+def _dense_conv_rm_for(w: int, wch: int, f_bins: int, mult: int,
+                       dtype_name: str, c: int, n_t: int, nbt: int = 0,
+                       grouped: bool = False):
+    """``nbt > 0``: direct window DMA, as in _dense_conv_for. ``w`` is
+    the PADDED window (a multiple of ``wch``); ``grouped`` selects the
+    zone-split sweep and the filter operand is per-cloud (B, mult, F, C)
+    in grouped row order (callers apply _grouped_perm)."""
     dtype = jnp.dtype(dtype_name)
-    tc = _rm_t_chunk_for(f_bins, w, c, dtype.itemsize)
-    kparams = dict(n_t=n_t, nbt=nbt)
+    assert w % wch == 0
+    tc = _rm_t_chunk_for(f_bins, w, wch, c, dtype.itemsize)
+    zrows = _zone_rows(f_bins, grouped)
+    kparams = dict(n_t=n_t, nbt=nbt, wch=wch, zrows=zrows)
+    scratch = [pltpu.VMEM((f_bins * tc, c), jnp.float32)]
     if nbt:
         fw_spec = pl.BlockSpec(memory_space=pl.ANY)
         dma_scratch = [
@@ -997,20 +1096,20 @@ def _dense_conv_rm_for(w: int, f_bins: int, mult: int, dtype_name: str,
             pltpu.SemaphoreType.DMA,
         ]
     else:
-        fw_spec = pl.BlockSpec((1, w, c), lambda i, j, s: (i, 0, 0),
+        fw_spec = pl.BlockSpec((1, w, c), lambda i, j, s, s2: (i, 0, 0),
                                memory_space=pltpu.VMEM)
         dma_scratch = []
 
-    def fwd_impl(sblk, packed, fw, filt_rfc, stash: bool):
+    def fwd_impl(zones, sblk, packed, fw, filt_bg, stash: bool):
         g_dim, t, _ = packed.shape
         out_specs = [pl.BlockSpec(
-            (1, tc, mult * c), lambda i, j, s: (i, j, 0),
+            (1, tc, mult * c), lambda i, j, s, s2: (i, j, 0),
             memory_space=pltpu.VMEM,
         )]
         out_shape = [jax.ShapeDtypeStruct((g_dim, t, mult * c), dtype)]
         if stash:
             out_specs.append(pl.BlockSpec(
-                (1, f_bins, tc, c), lambda i, j, s: (i, 0, j, 0),
+                (1, f_bins, tc, c), lambda i, j, s, s2: (i, 0, j, 0),
                 memory_space=pltpu.VMEM,
             ))
             out_shape.append(jax.ShapeDtypeStruct(
@@ -1020,37 +1119,42 @@ def _dense_conv_rm_for(w: int, f_bins: int, mult: int, dtype_name: str,
             functools.partial(_dense_conv_rm_fwd_kernel, stash=stash,
                               **kparams),
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
+                num_scalar_prefetch=2,
                 grid=(g_dim, t // tc),
                 in_specs=[
-                    pl.BlockSpec((1, tc, w), lambda i, j, s: (i, j, 0),
+                    pl.BlockSpec((1, tc, w), lambda i, j, s, s2: (i, j, 0),
                                  memory_space=pltpu.VMEM),
                     fw_spec,
-                    pl.BlockSpec((mult, f_bins, c), lambda i, j, s: (0, 0, 0),
+                    pl.BlockSpec((1, mult, f_bins, c),
+                                 lambda i, j, s, s2: (i // n_t, 0, 0, 0),
                                  memory_space=pltpu.VMEM),
                 ],
                 out_specs=out_specs if stash else out_specs[0],
-                scratch_shapes=dma_scratch,
+                scratch_shapes=scratch + dma_scratch,
             ),
             out_shape=out_shape if stash else out_shape[0],
             interpret=jax.default_backend() != "tpu",
-        )(sblk, packed, fw, filt_rfc)
+        )(zones, sblk, packed, fw, filt_bg)
         return res if stash else (res, None)
 
     def bwd(res, dout):
-        sblk, packed, filt_rfc, s_st = res
+        zones, sblk, packed, filt_bg, s_st = res
         g_dim, t, _ = packed.shape
+        batch = g_dim // n_t
         dfw, dfilt = pl.pallas_call(
-            _dense_conv_rm_bwd_kernel,
+            functools.partial(_dense_conv_rm_bwd_kernel, n_t=n_t, wch=wch,
+                              zrows=zrows),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(g_dim, t // tc),
                 in_specs=[
                     pl.BlockSpec((1, tc, w), lambda i, j, s: (i, j, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((mult, f_bins, c), lambda i, j, s: (0, 0, 0),
+                    pl.BlockSpec((1, mult, f_bins, c),
+                                 lambda i, j, s: (i // n_t, 0, 0, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, tc, mult * c), lambda i, j, s: (i, j, 0),
+                    pl.BlockSpec((1, tc, mult * c),
+                                 lambda i, j, s: (i, j, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((1, f_bins, tc, c),
                                  lambda i, j, s: (i, 0, j, 0),
@@ -1059,38 +1163,40 @@ def _dense_conv_rm_for(w: int, f_bins: int, mult: int, dtype_name: str,
                 out_specs=[
                     pl.BlockSpec((1, w, c), lambda i, j, s: (i, 0, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((mult, f_bins, c), lambda i, j, s: (0, 0, 0),
+                    pl.BlockSpec((1, mult, f_bins, c),
+                                 lambda i, j, s: (i // n_t, 0, 0, 0),
                                  memory_space=pltpu.VMEM),
                 ],
+                scratch_shapes=[pltpu.VMEM((f_bins * tc, c), dtype)],
             ),
             out_shape=[
                 jax.ShapeDtypeStruct((g_dim, w, c), dtype),
-                jax.ShapeDtypeStruct((mult, f_bins, c), jnp.float32),
+                jax.ShapeDtypeStruct((batch, mult, f_bins, c), jnp.float32),
             ],
             interpret=jax.default_backend() != "tpu",
-        )(sblk, packed, filt_rfc, dout, s_st)
+        )(zones, packed, filt_bg, dout, s_st)
         if nbt:
-            batch = g_dim // n_t
             dfw = _window_scatter(
                 dfw.reshape(batch, n_t, w, c),
                 sblk.reshape(batch, n_t),
                 nbt,
             )
         return (
+            jnp.zeros(zones.shape, dtype=jax.dtypes.float0),
             jnp.zeros(sblk.shape, dtype=jax.dtypes.float0),
             jnp.zeros(packed.shape, dtype=jax.dtypes.float0),
             dfw,
-            dfilt.astype(filt_rfc.dtype),
+            dfilt.astype(filt_bg.dtype),
         )
 
     @jax.custom_vjp
-    def f(sblk, packed, fw, filt_rfc):
-        out, _ = fwd_impl(sblk, packed, fw, filt_rfc, False)
+    def f(zones, sblk, packed, fw, filt_bg):
+        out, _ = fwd_impl(zones, sblk, packed, fw, filt_bg, False)
         return out
 
-    def fwd_rule(sblk, packed, fw, filt_rfc):
-        out, s_st = fwd_impl(sblk, packed, fw, filt_rfc, True)
-        return out, (sblk, packed, filt_rfc, s_st)
+    def fwd_rule(zones, sblk, packed, fw, filt_bg):
+        out, s_st = fwd_impl(zones, sblk, packed, fw, filt_bg, True)
+        return out, (zones, sblk, packed, filt_bg, s_st)
 
     f.defvjp(fwd_rule, bwd)
     return f
@@ -1107,6 +1213,116 @@ def _used_chunks(packed: jax.Array, wch: int) -> jax.Array:
     )                                               # (g, n_wc)
     idx = jnp.arange(1, n_wc + 1, dtype=jnp.int32)
     return jnp.max(jnp.where(any_c, idx, 1), axis=1).astype(jnp.int32)
+
+
+# --------------------- zone-split conv machinery -----------------------
+#
+# With SORT-GROUPED bin maps (build_dense_graph on an (8,2,q) kernel;
+# see ops/pallas/query_kernel._bins_822) the stored ids are a per-cloud
+# permutation of the ref bins into four contiguous groups along the sort
+# axis: G0 = left-outer-radial (ids 1..8), G1 = left-inner + self
+# (9..8q+1), G2 = right-inner (8q+2..16q-7), G3 = right-outer
+# (16q-6..16q+1). Because the window columns are sorted along the same
+# axis, each group's entries CLUSTER in a contiguous column range: a
+# column strictly left of every tile target can only hold left-group
+# bins, a column further left than the inner radial shell reaches can
+# only hold G0, etc. The conv kernels exploit that by sweeping five
+# chunk ranges, each contracting only a static SUBSET of A's bin rows:
+#
+#   zone  chunks        A rows            typical share of W
+#   1     [z0, z1)      G0        (8)     far left  (~1/4)
+#   2     [z1, z2)      G0+G1     (8q+1)  near left
+#   3     [z2, z3)      all       (16q+1) ties / middle (~targets only)
+#   4     [max(z2,z3), z4)  G2+G3 (8q)    near right
+#   5     [z4, z5)      G3        (8)     far right (~1/4)
+#
+# which cuts the one-hot A matmul's MAC count to ~0.5x at the wide
+# levels (17/33 on the near zones, 8/33 far). The boundaries are
+# MAP-DERIVED (first/last chunk containing each group), so the split is
+# exact for ANY point distribution — degenerate clouds (all ties) just
+# widen zone 3 back to the full window. Ungrouped maps pass the
+# degenerate boundaries (0, 0, 0, used, used, used): only zone 3 runs,
+# reproducing the single full-row sweep.
+
+def _zone_rows(f_bins: int, grouped: bool):
+    """Static per-zone A row ranges [fl, fh) (rows = stored id - 1)."""
+    if not grouped:
+        return ((0, f_bins),) * 5
+    q = (f_bins - 1) // 16
+    assert f_bins == 16 * q + 1, f_bins
+    return (
+        (0, 8),
+        (0, 8 * q + 1),
+        (0, f_bins),
+        (8 * q + 1, f_bins),
+        (f_bins - 8, f_bins),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _grouped_perm(f_bins: int):
+    """(3, F) int32: [sort_axis, grouped_row] -> ref bin row, mirroring
+    the in-kernel renumbering (ops/pallas/query_kernel._bins_822). Ref
+    row 0 is the self bin; row 1 + q*16 + p*8 + n the (n, p, q) bin."""
+    import numpy as np
+
+    q_bins = (f_bins - 1) // 16
+    perm = np.zeros((3, f_bins), np.int32)
+    for a in range(3):
+        perm[a, 8 * q_bins] = 0                      # self -> G1 tail
+        for r in range(1, f_bins):
+            e = r - 1
+            n_id, p_id, q_id = e % 8, (e // 8) % 2, e // 16
+            if a == 2:
+                hemi = p_id == 1
+                inhemi = n_id
+            elif a == 0:
+                hemi = 2 <= n_id <= 5
+                inhemi = p_id * 4 + (n_id - 2 if hemi else (n_id + 2) % 8)
+            else:
+                hemi = n_id >= 4
+                inhemi = p_id * 4 + (n_id - 4 if hemi else n_id)
+            outer = q_id == q_bins - 1
+            if not hemi:
+                gid = 1 + inhemi if outer else 9 + q_id * 8 + inhemi
+            else:
+                gid = (
+                    (16 * q_bins - 6) + inhemi
+                    if outer
+                    else (8 * q_bins + 2) + q_id * 8 + inhemi
+                )
+            perm[a, gid - 1] = r
+    return perm
+
+
+def _zone_bounds(
+    packed: jax.Array, f_bins: int, wch: int, grouped: bool
+) -> jax.Array:
+    """Per-tile zone chunk boundaries (g, 6) int32 (see the module
+    comment above). ``packed`` is the (g, T, Wp) padded grouped map,
+    ``wch`` the kernel chunk width."""
+    g, _t, wp = packed.shape
+    n_wc = wp // wch
+    if not grouped:
+        used = _used_chunks(packed, wch)
+        zero = jnp.zeros_like(used)
+        return jnp.stack([zero, zero, zero, used, used, used], axis=1)
+    q = (f_bins - 1) // 16
+    edges = (1, 9, 8 * q + 2, 16 * q - 6, 16 * q + 2)
+    pk = packed.reshape(g, _t, n_wc, wch)
+    idx = jnp.arange(n_wc, dtype=jnp.int32)
+    los, his = [], []
+    for lo_id, hi_id in zip(edges[:-1], edges[1:]):
+        any_c = jnp.any((pk >= lo_id) & (pk < hi_id), axis=(1, 3))
+        los.append(jnp.min(jnp.where(any_c, idx, n_wc), axis=1))
+        his.append(jnp.max(jnp.where(any_c, idx + 1, 0), axis=1))
+    b2 = jnp.minimum(los[2], los[3])
+    b1 = jnp.minimum(los[1], b2)
+    b0 = jnp.minimum(los[0], b1)
+    b3 = jnp.maximum(his[0], his[1])
+    b4 = jnp.maximum(b3, his[2])
+    b5 = jnp.maximum(b4, his[3])
+    return jnp.stack([b0, b1, b2, b3, b4, b5], axis=1).astype(jnp.int32)
 
 
 def dense_depthwise_conv3d(
@@ -1149,7 +1365,7 @@ def dense_depthwise_conv3d(
     _record_cost(
         "conv", g=batch * n_t, w=w, c=c_in, f=f_bins, mult=mult,
         dma=_dma_ok(c_in), pointwise=0 if pointwise is None
-        else pointwise.shape[-1],
+        else pointwise.shape[-1], grouped=dnbh.grouped,
     )
 
     # The neighbor mean (ref tf_conv3d_gpu.cu:25) commutes with the linear
@@ -1169,7 +1385,16 @@ def dense_depthwise_conv3d(
         packed = packed.reshape(batch * n_t, TILE, wp)
         inv = inv_cnt.reshape(batch * n_t, 1, TILE)
         filt_rcf = jnp.transpose(filt, (2, 1, 0)).astype(compute_dtype)
-        used = _used_chunks(packed, wch)
+        if dnbh.grouped:
+            perm = jnp.asarray(_grouped_perm(f_bins))
+            filt_bg = jnp.moveaxis(
+                jnp.take(filt_rcf, perm[dnbh.axis], axis=2), 2, 0
+            )                                       # (B, r, C, F) grouped
+        else:
+            filt_bg = jnp.broadcast_to(
+                filt_rcf, (batch,) + filt_rcf.shape
+            )
+        zones = _zone_bounds(packed, f_bins, wch, dnbh.grouped)
         sblk = dnbh.s_blk.reshape(-1).astype(jnp.int32)
         if _dma_ok(c_in):
             fw, nbt = _blocked_feats(inputs, wp, w)
@@ -1178,11 +1403,11 @@ def dense_depthwise_conv3d(
             fw = window_features(inputs, dnbh, pad_to=wp).reshape(
                 batch * n_t, wp, c_in
             )
-            nt_k, nbt_k = 0, 0
+            nt_k, nbt_k = n_t, 0
         out_t = _dense_conv_for(
             wp, wch, f_bins, mult, c_in, 1, compute_dtype.name,
-            nt_k, nbt_k,
-        )(used, sblk, packed, fw, filt_rcf, inv)    # (g, r, C, T)
+            nt_k, nbt_k, dnbh.grouped,
+        )(zones, sblk, packed, fw, filt_bg, inv)    # (g, r, C, T)
         out_t = out_t.reshape(batch, n_t, mult, c_in, TILE)
         if pointwise is not None:
             # contract (r, C) straight out of the kernel layout; the T
@@ -1199,18 +1424,33 @@ def dense_depthwise_conv3d(
             batch, m_pad, c_in * mult
         )
     else:
-        packed = dnbh.packed.reshape(batch * n_t, TILE, w)
+        wch, wp = _w_chunk(w)
+        packed = jnp.pad(dnbh.packed, ((0, 0), (0, 0), (0, 0), (0, wp - w)))
+        packed = packed.reshape(batch * n_t, TILE, wp)
         filt_rfc = jnp.transpose(filt, (2, 0, 1)).astype(compute_dtype)
+        if dnbh.grouped:
+            perm = jnp.asarray(_grouped_perm(f_bins))
+            filt_bg = jnp.moveaxis(
+                jnp.take(filt_rfc, perm[dnbh.axis], axis=1), 1, 0
+            )                                       # (B, r, F, C) grouped
+        else:
+            filt_bg = jnp.broadcast_to(
+                filt_rfc, (batch,) + filt_rfc.shape
+            )
+        zones = _zone_bounds(packed, f_bins, wch, dnbh.grouped)
         sblk = dnbh.s_blk.reshape(-1).astype(jnp.int32)
         if _dma_ok(c_in):
-            fw, nbt = _blocked_feats(inputs, w, w)
+            fw, nbt = _blocked_feats(inputs, wp, w)
             nt_k, nbt_k = n_t, nbt
         else:
-            fw = window_features(inputs, dnbh).reshape(batch * n_t, w, c_in)
-            nt_k, nbt_k = 0, 0
+            fw = window_features(inputs, dnbh, pad_to=wp).reshape(
+                batch * n_t, wp, c_in
+            )
+            nt_k, nbt_k = n_t, 0
         out_r = _dense_conv_rm_for(
-            w, f_bins, mult, compute_dtype.name, c_in, nt_k, nbt_k
-        )(sblk, packed, fw, filt_rfc)               # (g, T, r*C) r-major
+            wp, wch, f_bins, mult, compute_dtype.name, c_in, nt_k, nbt_k,
+            dnbh.grouped,
+        )(zones, sblk, packed, fw, filt_bg)         # (g, T, r*C) r-major
         if pointwise is not None:
             # permute the (C*r, O) kernel rows to the r-major order the
             # Pallas output uses — a (C*r, O) param-side shuffle instead

@@ -112,7 +112,7 @@ def _atan2(y, x):
     return jnp.where(y < 0.0, -a, a)
 
 
-def _bins_822(dx, dy, dz, d3, radius, kernel):
+def _bins_822(dx, dy, dz, d3, radius, kernel, group_axis=None):
     """Compare-only spherical bins for the (n=8, p=2, q) kernel family —
     every shipped config uses kernel=(8,2,2). Replaces the two atan2
     evaluations, two sqrts and a divide per candidate with ~20 VPU
@@ -166,17 +166,57 @@ def _bins_822(dx, dy, dz, d3, radius, kernel):
     for j in range(1, q_bins):
         thr = np.float32(j * scale / q_bins) ** 2
         q_id = q_id + (d3 >= float(thr)).astype(jnp.int32)
-    bins = q_id * (p_bins * n_bins) + p_id * n_bins + n_id + 1
     far_thr = float(np.float32(_M_EPS + 1e-6)) ** 2
-    return jnp.where(d3 > far_thr, bins, 0)
+    if group_axis is None:
+        bins = q_id * (p_bins * n_bins) + p_id * n_bins + n_id + 1
+        return jnp.where(d3 > far_thr, bins, 0)
+    # SORT-GROUPED renumbering (see ops/dense.py "zone-split conv"): a
+    # permutation of the 33 ref bins into contiguous groups by which side
+    # of the sort axis the candidate's BIN lies on — G0 = left-outer
+    # (stored 1..8), G1 = left-inner (9..8q) + self (8q+1), G2 =
+    # right-inner (8q+2..16q-7), G3 = right-outer (16q-6..16q+1).
+    # "left/right" is a function of the bin alone: along z the polar
+    # half (dz >= 0 <=> p_id == 1, exact); along x/y the azimuth
+    # half-plane, with dx == 0 / dy == 0 boundary candidates falling in
+    # whichever half their octant belongs to — the conv's zone bounds
+    # are map-derived, so boundary assignment only affects zone width,
+    # never correctness. Grouped filter rows are matched outside by
+    # ops.dense._grouped_perm (same formula on the host).
+    hemi_x = (n_id >= 2) & (n_id <= 5)     # dx > 0 strictly => here
+    hemi_y = n_id >= 4                     # dy > 0 strictly => here
+    hemi_z = p_id == 1                     # dz >= 0 exactly
+    hemi = jnp.where(
+        group_axis == 2, hemi_z, jnp.where(group_axis == 0, hemi_x, hemi_y)
+    )
+    i4x = jnp.where(hemi, n_id - 2, (n_id + 2) & 7)
+    i4y = jnp.where(hemi, n_id - 4, n_id)
+    inhemi = jnp.where(
+        group_axis == 2,
+        n_id,
+        p_id * 4 + jnp.where(group_axis == 0, i4x, i4y),
+    )
+    outer = q_id == (q_bins - 1)
+    gid_l = jnp.where(outer, 1 + inhemi, 9 + q_id * 8 + inhemi)
+    gid_r = jnp.where(
+        outer,
+        (16 * q_bins - 6) + inhemi,
+        (8 * q_bins + 2) + q_id * 8 + inhemi,
+    )
+    gid = jnp.where(hemi, gid_r, gid_l)
+    # returned value is stored_id - 1 (the caller adds 1): far -> gid,
+    # self -> 8q + 1 (the G1 tail slot)
+    return jnp.where(d3 > far_thr, gid - 1, 8 * q_bins)
 
 
-def _bins(dx, dy, dz, d3, radius, kernel):
+def _bins(dx, dy, dz, d3, radius, kernel, group_axis=None):
     """Spherical filter bins (ref tf_buildkernel_gpu.cu:52-74): azimuth n,
-    elevation p, radial q over the SQRT-space distance quirk."""
+    elevation p, radial q over the SQRT-space distance quirk. With
+    ``group_axis`` (a traced per-cloud scalar, (8,2,q) kernels only) the
+    returned ids are sort-grouped — see :func:`_bins_822`."""
     n_bins, p_bins, q_bins = kernel
     if n_bins == 8 and p_bins == 2:
-        return _bins_822(dx, dy, dz, d3, radius, kernel)
+        return _bins_822(dx, dy, dz, d3, radius, kernel, group_axis)
+    assert group_axis is None, "grouped bins need the (8,2,q) family"
     pi = math.pi
     nn_dist = jnp.sqrt(d3)
     dist2d = jnp.sqrt(dx * dx + dy * dy)
@@ -196,8 +236,8 @@ def _bins(dx, dy, dz, d3, radius, kernel):
 
 
 def _query_kernel(
-    sblk_ref, uend_ref, q_ref, db_ref, *rest,
-    radius, k, kernel, n_chunks, n_tiles, n_blocks, need_dist,
+    sblk_ref, uend_ref, axis_ref, q_ref, db_ref, *rest,
+    radius, k, kernel, n_chunks, n_tiles, n_blocks, need_dist, grouped,
 ):
     if need_dist:
         packed_ref, dist_ref, win_scr, sem = rest
@@ -223,6 +263,7 @@ def _query_kernel(
     qy = q[:, 1:2]
     qz = q[:, 2:3]
     u = _triu_ones()
+    group_axis = axis_ref[b] if grouped else None
     dma.wait()
 
     def body(c, off):
@@ -242,7 +283,7 @@ def _query_kernel(
             # overflow int8; no config comes close (nn_uplimit = 64).
             pk = jnp.where(sel, rank, 0.0) if k <= 127 else sel
         else:
-            bins = _bins(dx, dy, dz, d3, radius, kernel)
+            bins = _bins(dx, dy, dz, d3, radius, kernel, group_axis)
             pk = jnp.where(sel, bins + 1, 0)
         packed_ref[0, :, pl.ds(c * TILE, TILE)] = pk.astype(jnp.int8)
         if need_dist:
@@ -257,9 +298,10 @@ def _query_kernel(
 
 
 def _growth_kernel(
-    sblk_ref, uend_ref, q_ref, db_ref, *rest,
+    sblk_ref, uend_ref, axis_ref, q_ref, db_ref, *rest,
     growth_radii, k, n_chunks, n_tiles, n_blocks, need_dist,
 ):
+    del axis_ref  # growth graphs are selection-only (no bins to group)
     if need_dist:
         packed_ref, gstar_ref, dist_ref, win_scr, gcand_scr, sem = rest
     else:
@@ -349,6 +391,7 @@ def dense_query_pallas(
     q_pad: jax.Array,
     s_blk: jax.Array,
     u_end: jax.Array,
+    axis: jax.Array | None = None,
     *,
     radius: float,
     k: int,
@@ -369,6 +412,9 @@ def dense_query_pallas(
         contain in-range candidates (provable slab-end bound, in TILE
         units relative to ``s_blk``); chunks past it are skipped and
         zero-filled.
+      axis: optional (B,) int32 per-cloud sort axis; with an (8,2,q)
+        kernel the packed ids are then SORT-GROUPED (see :func:`_bins_822`
+        and ops.dense's zone-split conv).
       radius, k, kernel, window, need_dist, growth_steps: as
         ops.dense.build_dense_graph.
 
@@ -385,6 +431,17 @@ def dense_query_pallas(
     uend_flat = jnp.clip(
         u_end.reshape(grid).astype(jnp.int32), 1, n_chunks
     )
+    grouped = (
+        axis is not None
+        and kernel is not None
+        and kernel[0] == 8
+        and kernel[1] == 2
+    )
+    axis_flat = (
+        axis.astype(jnp.int32)
+        if axis is not None
+        else jnp.zeros((batch,), jnp.int32)
+    )
 
     if growth_steps and kernel is not None:
         raise ValueError("growth is selection-only (kernel=None)")
@@ -397,7 +454,7 @@ def dense_query_pallas(
         jax.ShapeDtypeStruct((grid, TILE, window), jnp.int8),
     ]
     out_specs = [
-        pl.BlockSpec((1, TILE, window), lambda g, s, u: (g, 0, 0),
+        pl.BlockSpec((1, TILE, window), lambda g, s, u, a: (g, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     scratch = [
@@ -413,7 +470,7 @@ def dense_query_pallas(
             jax.ShapeDtypeStruct((grid, TILE, TILE), jnp.int8)
         )
         out_specs.append(
-            pl.BlockSpec((1, TILE, TILE), lambda g, s, u: (g, 0, 0),
+            pl.BlockSpec((1, TILE, TILE), lambda g, s, u, a: (g, 0, 0),
                          memory_space=pltpu.VMEM)
         )
         kern = functools.partial(
@@ -424,14 +481,15 @@ def dense_query_pallas(
         scratch.append(pltpu.VMEM((TILE, window), jnp.int8))
     else:
         kern = functools.partial(
-            _query_kernel, radius=float(radius), kernel=kernel, **common
+            _query_kernel, radius=float(radius), kernel=kernel,
+            grouped=grouped, **common,
         )
     if need_dist:
         out_shape.append(
             jax.ShapeDtypeStruct((grid, TILE, window), jnp.float32)
         )
         out_specs.append(
-            pl.BlockSpec((1, TILE, window), lambda g, s, u: (g, 0, 0),
+            pl.BlockSpec((1, TILE, window), lambda g, s, u, a: (g, 0, 0),
                          memory_space=pltpu.VMEM)
         )
     scratch.append(pltpu.SemaphoreType.DMA)
@@ -439,12 +497,12 @@ def dense_query_pallas(
     outs = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(grid,),
             in_specs=[
                 pl.BlockSpec(
                     (1, TILE, 3),
-                    lambda g, s, u: (g // n_t, g % n_t, 0),
+                    lambda g, s, u, a: (g // n_t, g % n_t, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(memory_space=pl.ANY),
@@ -454,7 +512,7 @@ def dense_query_pallas(
         ),
         out_shape=out_shape,
         interpret=interpret,
-    )(sblk_flat, uend_flat, q_pad, db_blk)
+    )(sblk_flat, uend_flat, axis_flat, q_pad, db_blk)
 
     packed = outs[0].reshape(batch, n_t, TILE, window)
     pos = 1

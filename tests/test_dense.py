@@ -35,10 +35,17 @@ def _sorted_cloud(rng, b, n):
 
 
 def _edge_maps_from_dense(dnbh):
-    """Expand dense maps back to per-edge (idx, bins) for comparison."""
+    """Expand dense maps back to per-edge (idx, bins) for comparison.
+    Grouped maps (sort-grouped bin renumbering, ops/dense.py zone-split
+    conv) are mapped back to ref bin order via _grouped_perm."""
+    from sph3d_gcn_tpu.ops.dense import _grouped_perm
+
     packed = np.asarray(dnbh.packed)
     s_blk = np.asarray(dnbh.s_blk)
     b, n_t, t, w = packed.shape
+    if dnbh.grouped:
+        perm = np.asarray(_grouped_perm(F_BINS))
+        axis = np.asarray(dnbh.axis)
     rows = []
     for bi in range(b):
         for ti in range(n_t):
@@ -48,7 +55,9 @@ def _edge_maps_from_dense(dnbh):
                     continue
                 ws = np.where(packed[bi, ti, qi] > 0)[0]
                 idx = ws + s_blk[bi, ti] * 128
-                bins = packed[bi, ti, qi, ws] - 1
+                bins = packed[bi, ti, qi, ws].astype(np.int32) - 1
+                if dnbh.grouped:
+                    bins = perm[axis[bi]][bins]
                 rows.append((bi, m, idx, bins))
     return rows
 
