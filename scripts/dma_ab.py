@@ -7,11 +7,15 @@ tests/test_dense.py::test_dense_conv_pool_both_window_paths; this tool
 validates the Mosaic lowering + numerics on REAL hardware and times the
 two headline benches under each setting.
 
+Also A/Bs ``ops/dense.py::_GROUPED_BINS`` (sort-grouped bins / zone-split
+conv): ``kernels`` asserts grouped==ungrouped value+grad parity on-chip,
+and the bench modes take an optional ``g0``/``g1`` third argument.
+
 Usage (one TPU process at a time — run modes sequentially):
-    python scripts/dma_ab.py kernels      # compile + on-chip parity
-    python scripts/dma_ab.py modelnet 0   # bench with flag off
-    python scripts/dma_ab.py modelnet 1   # bench with flag on
-    python scripts/dma_ab.py s3dis 0|1
+    python scripts/dma_ab.py kernels        # compile + on-chip parity
+    python scripts/dma_ab.py modelnet 0     # bench with DMA flag off
+    python scripts/dma_ab.py modelnet 1     # bench with DMA flag on
+    python scripts/dma_ab.py s3dis 1 g0     # DMA on, grouped bins off
 """
 
 from __future__ import annotations
@@ -52,14 +56,16 @@ def _kernels() -> None:
     pts = np.take_along_axis(pts, order[..., None], axis=1)
     pts = jnp.array(pts)
 
-    dnbh = dense.build_dense_graph(
-        pts, pts, 0.35, k, kernel, window=768, self_graph=True
-    )
-    assert bool(dnbh.ok), "graph not certified on test cloud"
-    f_bins = kernel[0] * kernel[1] * (kernel[2] - 1) + 2
+    f_bins = kernel[0] * kernel[1] * kernel[2] + 1  # n*p*q + self bin
 
-    def run(direct: bool):
+    def run(direct: bool, grouped: bool = True):
         dense._DIRECT_WIN_DMA = direct
+        dense._GROUPED_BINS = grouped
+        dnbh = dense.build_dense_graph(
+            pts, pts, 0.35, k, kernel, window=768, self_graph=True
+        )
+        assert bool(dnbh.ok), "graph not certified on test cloud"
+        assert dnbh.grouped == grouped
         outs = []
         # 35/64: lane-padded transposed-kernel DMA (C < 128 slabs pad to
         # 128 lanes, kernels slice); 128: aligned transposed; 256: row-major
@@ -103,17 +109,29 @@ def _kernels() -> None:
             outs.append(np.asarray(pg, dtype=np.float32))
         return outs
 
-    rng2 = np.random.default_rng(3)
     t0 = time.perf_counter()
-    ref = run(False)
-    rng2 = np.random.default_rng(3)
-    got = run(True)
-    for i, (r, g) in enumerate(zip(ref, got)):
-        np.testing.assert_allclose(g, r, rtol=2e-6, atol=2e-6,
-                                   err_msg=f"output {i}")
-    print(f"kernels OK: DMA path compiles on "
-          f"{jax.devices()[0].platform} and matches the materialized "
-          f"path ({len(ref)} arrays, {time.perf_counter() - t0:.1f}s)")
+    results = {}
+    for combo in ((False, False), (True, False), (False, True), (True, True)):
+        rng2 = np.random.default_rng(3)
+        results[combo] = run(*combo)
+
+    def check(a, b, tag, rtol, atol):
+        for i, (x, y) in enumerate(zip(results[a], results[b])):
+            np.testing.assert_allclose(y, x, rtol=rtol, atol=atol,
+                                       err_msg=f"[{tag}] output {i}")
+
+    # DMA toggle at fixed grouping: identical math, different feed — tight.
+    check((False, False), (True, False), "DMA", 2e-6, 2e-6)
+    check((False, True), (True, True), "DMA@grouped", 2e-6, 2e-6)
+    # Grouping toggle: the hemisphere sort reorders the window, so f32
+    # accumulation order differs — reassociation-level tolerance.
+    check((False, False), (False, True), "grouped", 2e-3, 2e-4)
+    dense._DIRECT_WIN_DMA = True
+    dense._GROUPED_BINS = True
+    print(f"kernels OK: DMA and zone-split grouped paths compile on "
+          f"{jax.devices()[0].platform} and match the materialized "
+          f"ungrouped path ({len(results[(True, True)])} arrays, "
+          f"{time.perf_counter() - t0:.1f}s)")
 
 
 def main() -> None:
@@ -128,13 +146,18 @@ def main() -> None:
         _kernels()
         return
     flag = bool(int(sys.argv[2]))
+    grouped = True
+    if len(sys.argv) > 3:
+        assert sys.argv[3] in ("g0", "g1"), sys.argv[3]
+        grouped = sys.argv[3] == "g1"
     import jax
 
     import bench
     import sph3d_gcn_tpu.ops.dense as dense
 
     dense._DIRECT_WIN_DMA = flag
-    print(f"_DIRECT_WIN_DMA={flag}", flush=True)
+    dense._GROUPED_BINS = grouped
+    print(f"_DIRECT_WIN_DMA={flag} _GROUPED_BINS={grouped}", flush=True)
     if mode == "modelnet":
         bench.bench_modelnet(jax)
     elif mode == "s3dis":

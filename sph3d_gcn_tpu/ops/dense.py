@@ -286,7 +286,12 @@ def build_dense_graph(
     else:
         e_used = e_row
     u_end = -(-(e_used - s_blk * TILE) // TILE)
-    grouped = kernel is not None and kernel[0] == 8 and kernel[1] == 2
+    grouped = (
+        _GROUPED_BINS
+        and kernel is not None
+        and kernel[0] == 8
+        and kernel[1] == 2
+    )
     packed, dist, gmax = dense_query_pallas(
         blocked_db(db_p),
         q_p,
@@ -455,6 +460,16 @@ _A_CMP_DTYPE = jnp.int32
 # -> 860.8k pts/s with the DMA feed, ModelNet neutral — default ON).
 _DIRECT_WIN_DMA = True
 _DMA_MIN_C = 32
+
+# Sort-grouped bins / zone-split conv: (8, 2, q) kernels sort each
+# query row's window by hemisphere (see pallas/query_kernel._bins_822)
+# so the conv's five zone fori_loops contract only the bin-row subset
+# that can appear in that zone — ~0.5x one-hot A MACs at wide levels.
+# On-chip value+grad parity of all DMA x grouped combos and the
+# bench-level A/B live in scripts/dma_ab.py ({modelnet,s3dis} 1 g0|g1);
+# measured round-5 v5e numbers are recorded in BASELINE.md. Default ON;
+# flag exists for A/B and as an escape hatch.
+_GROUPED_BINS = True
 
 
 def _dma_ok(c: int) -> bool:

@@ -182,11 +182,18 @@ def _bins_822(dx, dy, dz, d3, radius, kernel, group_axis=None):
     # are map-derived, so boundary assignment only affects zone width,
     # never correctness. Grouped filter rows are matched outside by
     # ops.dense._grouped_perm (same formula on the host).
-    hemi_x = (n_id >= 2) & (n_id <= 5)     # dx > 0 strictly => here
-    hemi_y = n_id >= 4                     # dy > 0 strictly => here
-    hemi_z = p_id == 1                     # dz >= 0 exactly
-    hemi = jnp.where(
-        group_axis == 2, hemi_z, jnp.where(group_axis == 0, hemi_x, hemi_y)
+    # Mosaic can't legalize arith.select on i1 *values* (only i1
+    # conditions), so the axis dispatch selects int32 0/1 masks.
+    hemi_x = ((n_id >= 2) & (n_id <= 5)).astype(jnp.int32)  # dx > 0 => here
+    hemi_y = (n_id >= 4).astype(jnp.int32)                  # dy > 0 => here
+    hemi_z = p_id                                           # dz >= 0 exactly
+    hemi = (
+        jnp.where(
+            group_axis == 2,
+            hemi_z,
+            jnp.where(group_axis == 0, hemi_x, hemi_y),
+        )
+        == 1
     )
     i4x = jnp.where(hemi, n_id - 2, (n_id + 2) & 7)
     i4y = jnp.where(hemi, n_id - 4, n_id)

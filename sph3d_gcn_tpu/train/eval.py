@@ -13,6 +13,7 @@ segmentation.
 
 from __future__ import annotations
 
+import warnings
 from collections.abc import Callable
 
 import numpy as np
@@ -114,7 +115,7 @@ def coverage_eval_block(
     inner: np.ndarray,
     num_model_points: int,
     rng: np.random.Generator | None = None,
-    max_rounds: int = 100,
+    max_rounds: int | None = None,
     min_count: int = 1,
     augment_fn: Callable[[np.ndarray, np.random.Generator], np.ndarray]
     | None = None,
@@ -127,8 +128,9 @@ def coverage_eval_block(
       inner: (P,) inner mask.
       num_model_points: the model's fixed point count (e.g. 8192).
       rng: PRNG for resampling.
-      max_rounds: safety bound (the reference loops unboundedly,
-        ref evaluate_s3dis_with_overlap.py:270).
+      max_rounds: optional safety bound. The default (None) matches the
+        reference's unbounded loop (ref evaluate_s3dis_with_overlap.py:270);
+        a finite bound warns if it exhausts with uncovered inner points.
       min_count: required samples per inner point. The scene evals use 1
         (ref evaluate_s3dis_with_overlap.py:286); the ShapeNet eval requires
         > 10 (ref evaluate_shapenet.py:239).
@@ -146,7 +148,9 @@ def coverage_eval_block(
     inner_size = int(inner_idx.sum())
     sample_count = np.zeros(num, np.int64)
     pred_sum = None
-    for _ in range(max_rounds):
+    rounds_done = 0
+    while max_rounds is None or rounds_done < max_rounds:
+        rounds_done += 1
         sel = resample_block(num, num_model_points, rng)
         chunk = block_points[None, sel]
         logits = np.asarray(forward(chunk))[0]
@@ -160,6 +164,14 @@ def coverage_eval_block(
         sample_count[sel] += 1
         if int((sample_count[inner_idx] >= min_count).sum()) >= inner_size:
             break
+    else:
+        uncovered = int((sample_count[inner_idx] < min_count).sum())
+        warnings.warn(
+            f"coverage_eval_block: max_rounds={max_rounds} exhausted with "
+            f"{uncovered}/{inner_size} inner points uncovered; logits are "
+            "partial (the reference loops unboundedly)",
+            stacklevel=2,
+        )
     return pred_sum
 
 
@@ -169,7 +181,7 @@ def coverage_eval_blocks(
     num_model_points: int,
     batch_size: int,
     rng: np.random.Generator | None = None,
-    max_rounds: int = 100,
+    max_rounds: int | None = None,
     min_count: int = 1,
     augment_fn: Callable[[np.ndarray, np.random.Generator], np.ndarray]
     | None = None,
@@ -238,9 +250,31 @@ def coverage_eval_blocks(
                 np.add.at(sums[i], sel, logits[j])
             counts[i][sel] += 1
             rounds[i] += 1
+        done_uncovered = [
+            i for i in take
+            if max_rounds is not None
+            and rounds[i] >= max_rounds
+            and not covered(i)
+        ]
+        for i in done_uncovered:
+            inner_idx = np.asarray(blocks[i][1]) == 1
+            uncovered = int((counts[i][inner_idx] < min_count).sum())
+            warnings.warn(
+                f"coverage_eval_blocks: block {i} exhausted "
+                f"max_rounds={max_rounds} with {uncovered}/"
+                f"{int(inner_idx.sum())} inner points uncovered; logits are "
+                "partial (the reference loops unboundedly)",
+                stacklevel=2,
+            )
         need = [
             i for i in need
-            if not (i in take and (covered(i) or rounds[i] >= max_rounds))
+            if not (
+                i in take
+                and (
+                    covered(i)
+                    or (max_rounds is not None and rounds[i] >= max_rounds)
+                )
+            )
         ]
     return sums
 

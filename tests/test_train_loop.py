@@ -196,6 +196,37 @@ def test_coverage_eval_block_covers_all_inner():
     assert covered[inner == 1].all()
 
 
+def test_coverage_eval_block_warns_on_exhausted_max_rounds():
+    # 40 points resampled 10 at a time can't cover everything in 1 round;
+    # a finite max_rounds must warn instead of silently truncating
+    # (ref evaluate_s3dis_with_overlap.py:270 loops unboundedly).
+    rng = np.random.default_rng(0)
+    pts = rng.standard_normal((40, 6)).astype(np.float32)
+    inner = np.ones(40, np.int32)
+
+    def forward(x):
+        return np.ones((1, x.shape[1], 4))
+
+    with pytest.warns(UserWarning, match="max_rounds=1 exhausted"):
+        coverage_eval_block(forward, pts, inner, num_model_points=10,
+                            rng=rng, max_rounds=1)
+
+
+def test_coverage_eval_blocks_warns_on_exhausted_max_rounds():
+    from sph3d_gcn_tpu.train.eval import coverage_eval_blocks
+
+    rng = np.random.default_rng(0)
+    blocks = [(rng.standard_normal((40, 6)).astype(np.float32),
+               np.ones(40, np.int32))]
+
+    def forward(x, ids):
+        return np.ones((x.shape[0], x.shape[1], 4))
+
+    with pytest.warns(UserWarning, match="block 0 exhausted max_rounds=1"):
+        coverage_eval_blocks(forward, blocks, 10, batch_size=2, rng=rng,
+                             max_rounds=1)
+
+
 def test_coverage_eval_min_count_and_augment():
     from sph3d_gcn_tpu.train.eval import shapenet_eval_augment
 
