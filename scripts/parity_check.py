@@ -75,8 +75,16 @@ def oracle_mode(args):
 
     print(f"[{args.model}] init at B={b} N={n} ...", flush=True)
     t0 = time.perf_counter()
-    variables = model.init(jax.random.key(0), points, train=False)
-    logits = np.asarray(model.apply(variables, points, train=False))
+    # jit the init: eager per-op compiles at 10k points cost ~8 min over
+    # the relay vs ~20s jitted (CLAUDE.md gotcha)
+    variables = jax.jit(
+        lambda key, pts: model.init(key, pts, train=False)
+    )(jax.random.key(0), points)
+    logits = np.asarray(
+        jax.jit(lambda v, pts: model.apply(v, pts, train=False))(
+            variables, points
+        )
+    )
     print(f"[{args.model}] jax forward done ({time.perf_counter()-t0:.0f}s)",
           flush=True)
     t0 = time.perf_counter()

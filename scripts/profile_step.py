@@ -31,6 +31,9 @@ def main():
                         choices=["modelnet", "s3dis"])
     parser.add_argument("--batch_size", type=int, default=16)
     parser.add_argument("--top", type=int, default=30)
+    parser.add_argument("--min_us", type=int, default=200,
+                        help="drop device events shorter than this (us); "
+                        "lower it to see the small-fusion tail (BN, opt)")
     parser.add_argument("--platform", default=None)
     parser.add_argument("--fast", action="store_true",
                         help="profile the fast (bf16 + windowed) config")
@@ -141,7 +144,7 @@ def main():
     }
     events = [
         e for e in trace["traceEvents"]
-        if e.get("ph") == "X" and e.get("dur", 0) > 200
+        if e.get("ph") == "X" and e.get("dur", 0) > args.min_us
         and e.get("pid") in device_pids
     ]
     agg = collections.Counter()
