@@ -186,6 +186,96 @@ def test_point_sharded_conv_matches_unsharded(c):
         )
 
 
+def test_composed_dp_sp_conv_matches_unsharded():
+    """Composed 2x2 ('data', 'points') mesh at a realistic window/halo
+    ratio (halo 4 blocks vs 8 local blocks — the production S3DIS ratio
+    is 13/32): batch items shard over 'data', each cloud's rows over
+    'points'. Conv outputs and feats/filt grads must match the unsharded
+    op exactly — the default-lane guard that composed-mesh halo exchange
+    and grad transposes stay correct as kernels change (the full-model
+    composed step test is slow-marked)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    mesh = Mesh(
+        np.array(jax.devices()[:4]).reshape(2, 2), ("data", "points")
+    )
+    shards = 2  # point shards
+    rng = np.random.default_rng(11)
+    b, n, k, c, mult = 2, 2048, 7, 6, 2
+    w = 512
+    pts = jnp.array(_sorted_cloud(rng, b, n))
+    feats = jnp.array(rng.standard_normal((b, n, c)).astype(np.float32))
+    filt = jnp.array(
+        rng.standard_normal((F_BINS, c, mult)).astype(np.float32)
+    )
+    dnbh = build_dense_graph(
+        pts, pts, 0.15, k, KERNEL, window=w, self_graph=True
+    )
+    assert bool(dnbh.ok)
+    ref = dense_depthwise_conv3d(feats, filt, dnbh)
+
+    dnbh_p = pad_count_for_sharding(dnbh, shards)
+    n_t = dnbh_p.s_blk.shape[1]
+    n_local_blocks = n_t // shards
+    halo_blocks = w // TILE
+    assert 2 * halo_blocks == n_local_blocks  # realistic ratio, multi-hop
+
+    def per_shard(feats, packed, s_blk, count, ok, axis_f, filt):
+        fw = halo_exchange(feats, halo_blocks * TILE, "points")
+        import dataclasses
+
+        shard_dnbh = dataclasses.replace(
+            dnbh_p, packed=packed, s_blk=s_blk, count=count, ok=ok,
+            axis=axis_f, num_query=s_blk.shape[1] * TILE,
+        )
+        local, shard_ok = local_neighborhood(
+            shard_dnbh, "points", halo_blocks, n_local_blocks
+        )
+        out = dense_depthwise_conv3d(fw, filt, local)
+        return out, shard_ok[None]
+
+    f = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(
+            P("data", "points", None),          # feats: batch x rows
+            P("data", "points", None, None),    # packed tiles
+            P("data", "points"),                # s_blk
+            P("data", "points"),                # count
+            P(),                                # ok
+            P("data"),                          # per-cloud sort axis
+            P(),                                # filt (replicated)
+        ),
+        out_specs=(P("data", "points", None), P("points")),
+        check_vma=False,
+    )
+
+    got, shard_ok = f(
+        feats, dnbh_p.packed, dnbh_p.s_blk, dnbh_p.count, dnbh_p.ok,
+        dnbh_p.axis, filt,
+    )
+    assert bool(jnp.all(shard_ok))
+    np.testing.assert_allclose(
+        np.asarray(got)[:, : dnbh.num_query], np.asarray(ref),
+        rtol=2e-6, atol=2e-6,
+    )
+
+    def loss_sharded(feats, filt):
+        out, _ = f(feats, dnbh_p.packed, dnbh_p.s_blk, dnbh_p.count,
+                   dnbh_p.ok, dnbh_p.axis, filt)
+        return jnp.sum(jnp.sin(out[:, : dnbh.num_query]))
+
+    def loss_ref(feats, filt):
+        return jnp.sum(jnp.sin(dense_depthwise_conv3d(feats, filt, dnbh)))
+
+    g_s = jax.grad(loss_sharded, argnums=(0, 1))(feats, filt)
+    g_r = jax.grad(loss_ref, argnums=(0, 1))(feats, filt)
+    for a, e in zip(g_s, g_r):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(e), rtol=1e-4, atol=2e-5
+        )
+
+
 def test_point_sharded_halo_violation_flags_not_crashes():
     """A halo too small for the windows clamps s_blk (well-defined
     garbage) and reports shard_ok=False — the sharding analogue of the
