@@ -29,7 +29,7 @@ sys.path.insert(
 
 B = 16
 KERNEL = (8, 2, 2)
-F_BINS = KERNEL[0] * KERNEL[1] * (KERNEL[2] - 1) + 2
+F_BINS = KERNEL[0] * KERNEL[1] * KERNEL[2] + 1  # ops/kernelbin.py: n*p*q + 1
 
 
 def _sorted_cloud(rng, b, n, kind):
@@ -117,8 +117,15 @@ def main() -> None:
 
         import sph3d_gcn_tpu.ops.dense as dense
 
-        dense._A_CMP_DTYPE = jnp.dtype(sys.argv[2]).type
-        print(f"_A_CMP_DTYPE={sys.argv[2]}")
+        if sys.argv[2].startswith("wch"):
+            dense._WCH_OVERRIDE = int(sys.argv[2][3:])
+            print(f"_WCH_OVERRIDE={dense._WCH_OVERRIDE}")
+        elif sys.argv[2].startswith("stash"):
+            dense._S_STASH_MAX_CC = int(sys.argv[2][5:])
+            print(f"_S_STASH_MAX_CC={dense._S_STASH_MAX_CC}")
+        else:
+            dense._A_CMP_DTYPE = jnp.dtype(sys.argv[2]).type
+            print(f"_A_CMP_DTYPE={sys.argv[2]}")
     names = CASES if sel == "all" else [sel]
     for name in names:
         run_case(name)

@@ -471,6 +471,26 @@ _DMA_MIN_C = 32
 # flag exists for A/B and as an escape hatch.
 _GROUPED_BINS = True
 
+# A/B knob (scripts/conv_ab.py): force the conv W chunk width. Zone
+# boundaries are CHUNK-granular, so narrower chunks sharpen the zone
+# split (fewer wasted one-hot rows per sweep) at the cost of more loop
+# iterations. None = let _w_chunk pick.
+_WCH_OVERRIDE: int | None = None
+
+# S-stash policy: the conv VJP forward stashes its bin-contraction
+# matrix S (g, C, F*T) to HBM so the backward skips the S recompute dot
+# (the round-4 design) when the channel chunk is at most this wide;
+# wider chunks RECOMPUTE S in the backward on the A one-hot chunks it
+# already builds for the dfw dot (_dense_conv_*_bwd_rc_kernel), trading
+# 2*C*F*T bytes of stash HBM per tile for one extra MXU dot per chunk.
+# Round-5 v5e A/B (scripts/conv_ab.py {s1,s2} stash{0,4096}): the stash
+# WINS at both C=64 (fwd+bwd 18.8 vs 20.6 ms) and C=128 (29.8 vs 32.9)
+# — with the zone/wch insensitivity probes this pins the kernels'
+# bottleneck on per-chunk dot issue, not HBM or swept elements — so the
+# default keeps the stash everywhere; the recompute path stays as a
+# measured escape hatch for future HBM-starved parts.
+_S_STASH_MAX_CC = 1 << 30
+
 
 def _dma_ok(c: int) -> bool:
     """True when the blocked-feature slab is legal to DMA (see above)."""
@@ -745,6 +765,89 @@ def _dense_conv_bwd_kernel(
         ).astype(dfilt_ref.dtype)                    # (cc, F)
 
 
+def _dense_conv_bwd_rc_kernel(
+    zones_ref, sblk_ref, packed_ref, fw_ref, filt_ref, inv_ref, dout_ref,
+    dfw_ref, dfilt_ref, s_scr, ds_scr, *rest, wch, n_wc, n_t, nbt, zrows,
+):
+    """No-stash backward (see _S_STASH_MAX_CC): S is RECOMPUTED here from
+    the feature windows, reusing the A one-hot chunk already built for
+    the dfw dot — each zone chunk runs BOTH dots on the same A. Trades
+    the stash's 2*C*F*T bytes of HBM per tile (forward write + backward
+    read) for one extra MXU dot per chunk; at C >= 64 the kernels are
+    HBM-bound and this wins (round-5 probe). Everything else mirrors
+    _dense_conv_bwd_kernel; the window feed (direct DMA or materialized
+    block) mirrors the forward's."""
+    i = pl.program_id(1)
+    _, mult, cc, f_bins = filt_ref.shape
+    if nbt:
+        fwin_scr, sem = rest
+        nbw = fwin_scr.shape[0]
+        dma = pltpu.make_async_copy(
+            fw_ref.at[pl.ds((i // n_t) * nbt + sblk_ref[i], nbw)],
+            fwin_scr, sem,
+        )
+        dma.start()
+
+    @pl.when(i % n_t == 0)
+    def _():
+        dfilt_ref[...] = jnp.zeros_like(dfilt_ref)
+
+    def zero_chunk(c, carry):
+        dfw_ref[0, :, pl.ds(c * wch, wch)] = jnp.zeros(
+            (dfw_ref.shape[1], wch), dfw_ref.dtype
+        )
+        return carry
+
+    z0 = zones_ref[i, 0]
+    z5 = zones_ref[i, 5]
+    lax.fori_loop(0, jnp.minimum(z0, z5), zero_chunk, jnp.int32(0))
+    lax.fori_loop(z5, n_wc, zero_chunk, jnp.int32(0))
+    inv = inv_ref[0]                                       # (1, T)
+    ds = jnp.zeros((cc, f_bins, TILE), jnp.float32)
+    for r in range(mult):
+        f_r = filt_ref[0, r].astype(jnp.float32)           # (cc, F)
+        dout_r = dout_ref[0, r].astype(jnp.float32) * inv  # (cc, T)
+        ds = ds + f_r[:, :, None] * dout_r[:, None, :]
+    ds_scr[...] = ds.reshape(cc, f_bins * TILE).astype(ds_scr.dtype)
+    s_scr[...] = jnp.zeros_like(s_scr)
+    if nbt:
+        dma.wait()
+
+    def _fw_chunk(c):
+        if nbt:
+            wcb = wch // TILE
+            lanes = fwin_scr.shape[-1]
+            fwc = fwin_scr[pl.ds(c * wcb, wcb)].reshape(wch, lanes)
+            return fwc[:, :cc] if lanes != cc else fwc
+        return fw_ref[0, pl.ds(c * wch, wch), :]
+
+    def _zone_body(fl, fh):
+        def body(c, carry):
+            a = _conv_chunk_a(packed_ref, c, wch, fl, fh, filt_ref.dtype)
+            dfw_ref[0, :, pl.ds(c * wch, wch)] = lax.dot_general(
+                ds_scr[:, fl * TILE:fh * TILE], a,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dfw_ref.dtype)                  # (cc, wch)
+            s_scr[:, fl * TILE:fh * TILE] += lax.dot_general(
+                _fw_chunk(c), a,
+                (((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                        # (cc, (fh-fl)*T)
+            return carry
+
+        return body
+
+    for (lo, hi), (fl, fh) in zip(_zone_chunk_ranges(zones_ref, i), zrows):
+        lax.fori_loop(lo, hi, _zone_body(fl, fh), jnp.int32(0))
+    s3 = s_scr[...].reshape(cc, f_bins, TILE)
+    for r in range(mult):
+        dout_r = dout_ref[0, r].astype(jnp.float32) * inv
+        dfilt_ref[0, r] += jnp.sum(
+            s3 * dout_r[:, None, :], axis=2
+        ).astype(dfilt_ref.dtype)                    # (cc, F)
+
+
 def _w_chunk(
     w: int, f_bins: int = 0, cc: int = 0, itemsize: int = 2
 ) -> tuple[int, int]:
@@ -756,6 +859,8 @@ def _w_chunk(
     limit are rejected: the dominant transients are the f32 s_scr and
     matmul-dtype ds_scr (cc, F*TILE) scratches, the per-chunk A one-hot
     (F*TILE, wch), and the double-buffered I/O blocks."""
+    if _WCH_OVERRIDE is not None:
+        return _WCH_OVERRIDE, -(-w // _WCH_OVERRIDE) * _WCH_OVERRIDE
     best = None
     for chunk in (512, 256, 128):
         if w < chunk and chunk != 128:
@@ -781,7 +886,7 @@ def _w_chunk(
 @functools.lru_cache(maxsize=None)
 def _dense_conv_for(w: int, wch: int, f_bins: int, mult: int, c_pad: int,
                     n_cc: int, dtype_name: str, n_t: int, nbt: int = 0,
-                    grouped: bool = False):
+                    grouped: bool = False, stash: bool = False):
     """w is the PADDED window (a multiple of the chunk width wch).
 
     With ``nbt > 0`` the returned op takes the TILE-row-blocked feature
@@ -793,10 +898,14 @@ def _dense_conv_for(w: int, wch: int, f_bins: int, mult: int, c_pad: int,
     the filter operand is per-cloud (B, mult, c_pad, F) either way, in
     grouped row order when grouped (callers apply _grouped_perm).
 
-    Under differentiation the forward stashes its bin-contraction matrix
-    S (compute dtype, (g, C, F*T) in HBM) so the backward skips the S
-    recompute dot AND the window read entirely; the primal-only forward
-    (eval) never materializes the stash.
+    With ``stash=True`` the differentiated forward stashes its
+    bin-contraction matrix S (compute dtype, (g, C, F*T) in HBM) so the
+    backward skips the S recompute dot AND the window read entirely;
+    with ``stash=False`` (the default policy at C > _S_STASH_MAX_CC) the
+    backward recomputes S on the A chunks it already builds for the dfw
+    dot (_dense_conv_bwd_rc_kernel) — cheaper where the kernels are
+    HBM-bound. The primal-only forward (eval) never materializes S
+    either way.
     """
     dtype = jnp.dtype(dtype_name)
     cc = c_pad // n_cc
@@ -860,51 +969,95 @@ def _dense_conv_for(w: int, wch: int, f_bins: int, mult: int, c_pad: int,
         return res if stash else (res, None)
 
     def bwd(res, dout):
-        zones, sblk, packed, filt_bg, inv, s_st = res
+        if stash:
+            zones, sblk, packed, filt_bg, inv, s_st = res
+        else:
+            zones, sblk, packed, fw, filt_bg, inv = res
         g_dim = packed.shape[0]
         batch = g_dim // n_t
-        dfw_t, dfilt_t = pl.pallas_call(
-            functools.partial(_dense_conv_bwd_kernel, wch=wch, n_wc=n_wc,
-                              n_t=n_t, zrows=zrows),
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
-                grid=(n_cc, g_dim),
-                in_specs=[
-                    pl.BlockSpec((1, TILE, w),
-                                 lambda k, i, s: (i, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, mult, cc, f_bins),
-                                 lambda k, i, s: (i // n_t, 0, k, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, 1, TILE),
-                                 lambda k, i, s: (i, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, mult, cc, TILE),
-                                 lambda k, i, s: (i, 0, k, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, cc, f_bins * TILE),
-                                 lambda k, i, s: (i, k, 0),
-                                 memory_space=pltpu.VMEM),
+        if stash:
+            dfw_t, dfilt_t = pl.pallas_call(
+                functools.partial(_dense_conv_bwd_kernel, wch=wch,
+                                  n_wc=n_wc, n_t=n_t, zrows=zrows),
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=1,
+                    grid=(n_cc, g_dim),
+                    in_specs=[
+                        pl.BlockSpec((1, TILE, w),
+                                     lambda k, i, s: (i, 0, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((1, mult, cc, f_bins),
+                                     lambda k, i, s: (i // n_t, 0, k, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((1, 1, TILE),
+                                     lambda k, i, s: (i, 0, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((1, mult, cc, TILE),
+                                     lambda k, i, s: (i, 0, k, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((1, cc, f_bins * TILE),
+                                     lambda k, i, s: (i, k, 0),
+                                     memory_space=pltpu.VMEM),
+                    ],
+                    out_specs=[
+                        pl.BlockSpec((1, cc, w),
+                                     lambda k, i, s: (i, k, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((1, mult, cc, f_bins),
+                                     lambda k, i, s: (i // n_t, 0, k, 0),
+                                     memory_space=pltpu.VMEM),
+                    ],
+                    scratch_shapes=[
+                        pltpu.VMEM((cc, f_bins * TILE), dtype),
+                    ],
+                ),
+                out_shape=[
+                    jax.ShapeDtypeStruct((g_dim, c_pad, w), dtype),
+                    jax.ShapeDtypeStruct((batch, mult, c_pad, f_bins),
+                                         jnp.float32),
                 ],
-                out_specs=[
-                    pl.BlockSpec((1, cc, w),
-                                 lambda k, i, s: (i, k, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, mult, cc, f_bins),
-                                 lambda k, i, s: (i // n_t, 0, k, 0),
-                                 memory_space=pltpu.VMEM),
+                interpret=jax.default_backend() != "tpu",
+            )(zones, packed, filt_bg, inv, dout, s_st)
+        else:
+            dfw_t, dfilt_t = pl.pallas_call(
+                functools.partial(_dense_conv_bwd_rc_kernel, **kparams),
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=2,
+                    grid=(n_cc, g_dim),
+                    in_specs=[
+                        pl.BlockSpec((1, TILE, w),
+                                     lambda k, i, s, s2: (i, 0, 0),
+                                     memory_space=pltpu.VMEM),
+                        fw_spec,
+                        pl.BlockSpec((1, mult, cc, f_bins),
+                                     lambda k, i, s, s2: (i // n_t, 0, k, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((1, 1, TILE),
+                                     lambda k, i, s, s2: (i, 0, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((1, mult, cc, TILE),
+                                     lambda k, i, s, s2: (i, 0, k, 0),
+                                     memory_space=pltpu.VMEM),
+                    ],
+                    out_specs=[
+                        pl.BlockSpec((1, cc, w),
+                                     lambda k, i, s, s2: (i, k, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((1, mult, cc, f_bins),
+                                     lambda k, i, s, s2: (i // n_t, 0, k, 0),
+                                     memory_space=pltpu.VMEM),
+                    ],
+                    scratch_shapes=scratch + [
+                        pltpu.VMEM((cc, f_bins * TILE), dtype),
+                    ] + dma_scratch,
+                ),
+                out_shape=[
+                    jax.ShapeDtypeStruct((g_dim, c_pad, w), dtype),
+                    jax.ShapeDtypeStruct((batch, mult, c_pad, f_bins),
+                                         jnp.float32),
                 ],
-                scratch_shapes=[
-                    pltpu.VMEM((cc, f_bins * TILE), dtype),
-                ],
-            ),
-            out_shape=[
-                jax.ShapeDtypeStruct((g_dim, c_pad, w), dtype),
-                jax.ShapeDtypeStruct((batch, mult, c_pad, f_bins),
-                                     jnp.float32),
-            ],
-            interpret=jax.default_backend() != "tpu",
-        )(zones, packed, filt_bg, inv, dout, s_st)
+                interpret=jax.default_backend() != "tpu",
+            )(zones, sblk, packed, fw, filt_bg, inv, dout)
         if nbt:
             dfw = _window_scatter_t(
                 dfw_t.reshape(batch, n_t, c_pad, w),
@@ -928,8 +1081,10 @@ def _dense_conv_for(w: int, wch: int, f_bins: int, mult: int, c_pad: int,
         return out
 
     def fwd_rule(zones, sblk, packed, fw, filt_bg, inv):
-        out, s_st = fwd_impl(zones, sblk, packed, fw, filt_bg, inv, True)
-        return out, (zones, sblk, packed, filt_bg, inv, s_st)
+        out, s_st = fwd_impl(zones, sblk, packed, fw, filt_bg, inv, stash)
+        if stash:
+            return out, (zones, sblk, packed, filt_bg, inv, s_st)
+        return out, (zones, sblk, packed, fw, filt_bg, inv)
 
     f.defvjp(fwd_rule, bwd)
     return f
@@ -1075,6 +1230,69 @@ def _dense_conv_rm_bwd_kernel(
         lax.fori_loop(lo, hi, _zone_body(fl, fh), jnp.int32(0))
 
 
+def _dense_conv_rm_bwd_rc_kernel(
+    zones_ref, sblk_ref, packed_ref, fw_ref, filt_ref, dout_ref,
+    dfw_ref, dfilt_ref, s_scr, ds_scr, *rest, n_t, nbt, wch, zrows,
+):
+    """No-stash row-major backward (see _dense_conv_bwd_rc_kernel): S is
+    recomputed on the A chunks already built for the dfw dot, so the
+    forward never writes its (g, F, T, C) stash and this kernel reads
+    the window slab instead (direct DMA or materialized, mirroring the
+    forward's feed)."""
+    i = pl.program_id(0)
+    tc = packed_ref.shape[1]
+    _, mult, f_bins, c = filt_ref.shape
+    slab = _rm_slab_load(fw_ref, rest, sblk_ref, n_t, nbt)
+
+    def _fw_chunk(cw):
+        if nbt:
+            wcb = wch // TILE
+            lanes = slab.shape[-1]
+            fwc = slab[pl.ds(cw * wcb, wcb)].reshape(wch, lanes)
+            return fwc[:, :c] if lanes != c else fwc
+        return fw_ref[0, pl.ds(cw * wch, wch), :]
+
+    @pl.when((pl.program_id(0) % n_t == 0) & (pl.program_id(1) == 0))
+    def _():
+        dfilt_ref[...] = jnp.zeros_like(dfilt_ref)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dfw_ref[0] = jnp.zeros_like(dfw_ref[0])
+
+    ds = jnp.zeros((f_bins, tc, c), jnp.float32)
+    for r in range(mult):
+        dout_r = dout_ref[0][:, r * c:(r + 1) * c].astype(jnp.float32)
+        f_r = filt_ref[0, r].astype(jnp.float32)
+        ds = ds + f_r[:, None, :] * dout_r[None, :, :]
+    ds_scr[...] = ds.reshape(f_bins * tc, c).astype(ds_scr.dtype)
+    s_scr[...] = jnp.zeros_like(s_scr)
+
+    def _zone_body(fl, fh):
+        def body(cw, carry):
+            a = _rm_a_chunk(packed_ref, cw, wch, fl, fh, ds_scr.dtype)
+            dfw_ref[0, pl.ds(cw * wch, wch), :] += lax.dot_general(
+                a, ds_scr[fl * tc:fh * tc, :],
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dfw_ref.dtype)
+            s_scr[fl * tc:fh * tc, :] += jnp.dot(
+                a, _fw_chunk(cw), preferred_element_type=jnp.float32
+            )
+            return carry
+
+        return body
+
+    for (lo, hi), (fl, fh) in zip(_zone_chunk_ranges(zones_ref, i), zrows):
+        lax.fori_loop(lo, hi, _zone_body(fl, fh), jnp.int32(0))
+    s = s_scr[...].reshape(f_bins, tc, c)              # f32
+    for r in range(mult):
+        dout_r = dout_ref[0][:, r * c:(r + 1) * c].astype(jnp.float32)
+        dfilt_ref[0, r] += jnp.sum(
+            s * dout_r[None, :, :], axis=1
+        ).astype(dfilt_ref.dtype)
+
+
 def _rm_t_chunk_for(f_bins: int, w: int, wch: int, c: int,
                     itemsize: int) -> int:
     """Rows per kernel step, sized so the per-chunk A block (tc*F, wch),
@@ -1093,7 +1311,7 @@ def _rm_t_chunk_for(f_bins: int, w: int, wch: int, c: int,
 @functools.lru_cache(maxsize=None)
 def _dense_conv_rm_for(w: int, wch: int, f_bins: int, mult: int,
                        dtype_name: str, c: int, n_t: int, nbt: int = 0,
-                       grouped: bool = False):
+                       grouped: bool = False, stash: bool = False):
     """``nbt > 0``: direct window DMA, as in _dense_conv_for. ``w`` is
     the PADDED window (a multiple of ``wch``); ``grouped`` selects the
     zone-split sweep and the filter operand is per-cloud (B, mult, F, C)
@@ -1153,43 +1371,85 @@ def _dense_conv_rm_for(w: int, wch: int, f_bins: int, mult: int,
         return res if stash else (res, None)
 
     def bwd(res, dout):
-        zones, sblk, packed, filt_bg, s_st = res
+        if stash:
+            zones, sblk, packed, filt_bg, s_st = res
+        else:
+            zones, sblk, packed, fw, filt_bg = res
         g_dim, t, _ = packed.shape
         batch = g_dim // n_t
-        dfw, dfilt = pl.pallas_call(
-            functools.partial(_dense_conv_rm_bwd_kernel, n_t=n_t, wch=wch,
-                              zrows=zrows),
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
-                grid=(g_dim, t // tc),
-                in_specs=[
-                    pl.BlockSpec((1, tc, w), lambda i, j, s: (i, j, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, mult, f_bins, c),
-                                 lambda i, j, s: (i // n_t, 0, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, tc, mult * c),
-                                 lambda i, j, s: (i, j, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, f_bins, tc, c),
-                                 lambda i, j, s: (i, 0, j, 0),
-                                 memory_space=pltpu.VMEM),
+        if stash:
+            dfw, dfilt = pl.pallas_call(
+                functools.partial(_dense_conv_rm_bwd_kernel, n_t=n_t,
+                                  wch=wch, zrows=zrows),
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=1,
+                    grid=(g_dim, t // tc),
+                    in_specs=[
+                        pl.BlockSpec((1, tc, w), lambda i, j, s: (i, j, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((1, mult, f_bins, c),
+                                     lambda i, j, s: (i // n_t, 0, 0, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((1, tc, mult * c),
+                                     lambda i, j, s: (i, j, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((1, f_bins, tc, c),
+                                     lambda i, j, s: (i, 0, j, 0),
+                                     memory_space=pltpu.VMEM),
+                    ],
+                    out_specs=[
+                        pl.BlockSpec((1, w, c), lambda i, j, s: (i, 0, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((1, mult, f_bins, c),
+                                     lambda i, j, s: (i // n_t, 0, 0, 0),
+                                     memory_space=pltpu.VMEM),
+                    ],
+                    scratch_shapes=[pltpu.VMEM((f_bins * tc, c), dtype)],
+                ),
+                out_shape=[
+                    jax.ShapeDtypeStruct((g_dim, w, c), dtype),
+                    jax.ShapeDtypeStruct((batch, mult, f_bins, c),
+                                         jnp.float32),
                 ],
-                out_specs=[
-                    pl.BlockSpec((1, w, c), lambda i, j, s: (i, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, mult, f_bins, c),
-                                 lambda i, j, s: (i // n_t, 0, 0, 0),
-                                 memory_space=pltpu.VMEM),
+                interpret=jax.default_backend() != "tpu",
+            )(zones, packed, filt_bg, dout, s_st)
+        else:
+            dfw, dfilt = pl.pallas_call(
+                functools.partial(_dense_conv_rm_bwd_rc_kernel, **kparams),
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=2,
+                    grid=(g_dim, t // tc),
+                    in_specs=[
+                        pl.BlockSpec((1, tc, w),
+                                     lambda i, j, s, s2: (i, j, 0),
+                                     memory_space=pltpu.VMEM),
+                        fw_spec,
+                        pl.BlockSpec((1, mult, f_bins, c),
+                                     lambda i, j, s, s2: (i // n_t, 0, 0, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((1, tc, mult * c),
+                                     lambda i, j, s, s2: (i, j, 0),
+                                     memory_space=pltpu.VMEM),
+                    ],
+                    out_specs=[
+                        pl.BlockSpec((1, w, c),
+                                     lambda i, j, s, s2: (i, 0, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((1, mult, f_bins, c),
+                                     lambda i, j, s, s2: (i // n_t, 0, 0, 0),
+                                     memory_space=pltpu.VMEM),
+                    ],
+                    scratch_shapes=scratch + [
+                        pltpu.VMEM((f_bins * tc, c), dtype),
+                    ] + dma_scratch,
+                ),
+                out_shape=[
+                    jax.ShapeDtypeStruct((g_dim, w, c), dtype),
+                    jax.ShapeDtypeStruct((batch, mult, f_bins, c),
+                                         jnp.float32),
                 ],
-                scratch_shapes=[pltpu.VMEM((f_bins * tc, c), dtype)],
-            ),
-            out_shape=[
-                jax.ShapeDtypeStruct((g_dim, w, c), dtype),
-                jax.ShapeDtypeStruct((batch, mult, f_bins, c), jnp.float32),
-            ],
-            interpret=jax.default_backend() != "tpu",
-        )(zones, packed, filt_bg, dout, s_st)
+                interpret=jax.default_backend() != "tpu",
+            )(zones, sblk, packed, fw, filt_bg, dout)
         if nbt:
             dfw = _window_scatter(
                 dfw.reshape(batch, n_t, w, c),
@@ -1210,8 +1470,10 @@ def _dense_conv_rm_for(w: int, wch: int, f_bins: int, mult: int,
         return out
 
     def fwd_rule(zones, sblk, packed, fw, filt_bg):
-        out, s_st = fwd_impl(zones, sblk, packed, fw, filt_bg, True)
-        return out, (zones, sblk, packed, filt_bg, s_st)
+        out, s_st = fwd_impl(zones, sblk, packed, fw, filt_bg, stash)
+        if stash:
+            return out, (zones, sblk, packed, filt_bg, s_st)
+        return out, (zones, sblk, packed, fw, filt_bg)
 
     f.defvjp(fwd_rule, bwd)
     return f
@@ -1421,7 +1683,7 @@ def dense_depthwise_conv3d(
             nt_k, nbt_k = n_t, 0
         out_t = _dense_conv_for(
             wp, wch, f_bins, mult, c_in, 1, compute_dtype.name,
-            nt_k, nbt_k, dnbh.grouped,
+            nt_k, nbt_k, dnbh.grouped, c_in <= _S_STASH_MAX_CC,
         )(zones, sblk, packed, fw, filt_bg, inv)    # (g, r, C, T)
         out_t = out_t.reshape(batch, n_t, mult, c_in, TILE)
         if pointwise is not None:
@@ -1464,7 +1726,7 @@ def dense_depthwise_conv3d(
             nt_k, nbt_k = n_t, 0
         out_r = _dense_conv_rm_for(
             wp, wch, f_bins, mult, compute_dtype.name, c_in, nt_k, nbt_k,
-            dnbh.grouped,
+            dnbh.grouped, c_in <= _S_STASH_MAX_CC,
         )(zones, sblk, packed, fw, filt_bg)         # (g, T, r*C) r-major
         if pointwise is not None:
             # permute the (C*r, O) kernel rows to the r-major order the

@@ -795,3 +795,43 @@ def test_dense_conv_pool_both_window_paths(direct, monkeypatch):
             np.asarray(g_d, np.float32), np.asarray(g_r, np.float32),
             rtol=1e-2, atol=1e-3,
         )
+
+
+def test_dense_conv_recompute_bwd_matches_stash(monkeypatch):
+    """The no-stash backward (_S_STASH_MAX_CC gate: S recomputed on the
+    dfw dot's A chunks) must produce the same value and grads as the
+    stash backward, in BOTH kernel orientations (C <= 128 transposed,
+    C > 128 row-major) and both window feeds."""
+    from sph3d_gcn_tpu.ops import dense as dense_mod
+
+    rng = np.random.default_rng(11)
+    b, n, k, mult = 2, 384, 16, 2
+    pts = jnp.array(_sorted_cloud(rng, b, n))
+    dnbh = build_dense_graph(
+        pts, pts, 0.35, k, KERNEL, window=384, self_graph=True
+    )
+    for c in (64, 256):
+        feats = jnp.array(
+            rng.standard_normal((b, n, c)).astype(np.float32)
+        )
+        filt = jnp.array(
+            rng.standard_normal((F_BINS, c, mult)).astype(np.float32) * 0.1
+        )
+
+        def loss(f, w):
+            out = dense_depthwise_conv3d(f, w, dnbh)
+            return jnp.sum(jnp.sin(out))
+
+        got = {}
+        for tag, thresh in (("stash", 1 << 30), ("recompute", 0)):
+            monkeypatch.setattr(dense_mod, "_S_STASH_MAX_CC", thresh)
+            dense_mod._dense_conv_for.cache_clear()
+            dense_mod._dense_conv_rm_for.cache_clear()
+            v, (df, dw) = jax.value_and_grad(loss, argnums=(0, 1))(
+                feats, filt
+            )
+            got[tag] = (np.asarray(v), np.asarray(df), np.asarray(dw))
+        dense_mod._dense_conv_for.cache_clear()
+        dense_mod._dense_conv_rm_for.cache_clear()
+        for a, e in zip(got["recompute"], got["stash"]):
+            np.testing.assert_allclose(a, e, rtol=1e-5, atol=1e-5)
